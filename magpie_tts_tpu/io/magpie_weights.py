@@ -1,0 +1,223 @@
+"""Magpie 357M weight pytrees + GGUF loading + synthetic init for tests.
+
+Checkpoint tensor names follow the NeMo state dict (reference
+docs/MAGPIE_ARCHITECTURE.md:264-307). Linear weights are transposed at load to
+``[in, out]`` so the compute path is plain ``y = x @ W`` (feature dim last, which is
+the TPU lane dimension). Per-layer tensors are stacked along a leading layer axis so
+layer loops compile as ``lax.scan`` over a single fused weight array.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MagpieConfig
+from .gguf import GGUFReader
+
+
+@flax.struct.dataclass
+class EncoderWeights:
+    pos_emb: jnp.ndarray        # [max_pos, d_model]
+    norm_self: jnp.ndarray      # [L, d_model]
+    qkv: jnp.ndarray            # [L, d_model, 3*d_model]
+    sa_out: jnp.ndarray         # [L, d_model, d_model]
+    norm_ff: jnp.ndarray        # [L, d_model]
+    ff_proj: jnp.ndarray        # [L, k, d_model, d_ffn]
+    ff_out: jnp.ndarray         # [L, k, d_ffn, d_model]
+    norm_out: jnp.ndarray       # [d_model]
+
+
+@flax.struct.dataclass
+class DecoderWeights:
+    pos_emb: jnp.ndarray        # [max_pos, d_model]
+    norm_self: jnp.ndarray      # [L, d_model]
+    qkv: jnp.ndarray            # [L, d_model, 3*d_model]
+    sa_out: jnp.ndarray         # [L, d_model, d_model]
+    norm_xa_q: jnp.ndarray      # [L, d_model]
+    norm_xa_mem: jnp.ndarray    # [L, d_model]
+    xa_q: jnp.ndarray           # [L, d_model, d_xa]
+    xa_kv: jnp.ndarray          # [L, d_model, 2*d_xa]
+    xa_out: jnp.ndarray         # [L, d_xa, d_model]
+    norm_ff: jnp.ndarray        # [L, d_model]
+    ff_proj: jnp.ndarray        # [L, d_model, d_ffn]   (kernel=1 -> pointwise)
+    ff_out: jnp.ndarray         # [L, d_ffn, d_model]
+    norm_out: jnp.ndarray       # [d_model]
+
+
+@flax.struct.dataclass
+class LocalTransformerWeights:
+    in_proj_w: jnp.ndarray      # [d_model, lt_dim]
+    in_proj_b: jnp.ndarray      # [lt_dim]
+    pos_emb: jnp.ndarray        # [lt_max_pos, lt_dim]
+    norm_self: jnp.ndarray      # [lt_dim]
+    qkv: jnp.ndarray            # [lt_dim, 3*lt_dim]
+    sa_out: jnp.ndarray         # [lt_dim, lt_dim]
+    norm_ff: jnp.ndarray        # [lt_dim]
+    ff_proj: jnp.ndarray        # [lt_dim, lt_ffn_dim]
+    ff_out: jnp.ndarray         # [lt_ffn_dim, lt_dim]
+    out_proj_w: jnp.ndarray     # [n_cb, lt_dim, vocab_per_cb]
+    out_proj_b: jnp.ndarray     # [n_cb, vocab_per_cb]
+
+
+@flax.struct.dataclass
+class MagpieWeights:
+    text_emb: jnp.ndarray       # [text_vocab, d_model]
+    audio_emb: jnp.ndarray      # [n_cb, vocab_per_cb, d_model]
+    baked_context: jnp.ndarray  # [num_speakers, context_frames, d_model]
+    encoder: EncoderWeights
+    decoder: DecoderWeights
+    final_proj_w: jnp.ndarray   # [d_model, n_cb * vocab_per_cb]
+    final_proj_b: jnp.ndarray   # [n_cb * vocab_per_cb]
+    lt: LocalTransformerWeights
+
+    def astype(self, dtype) -> "MagpieWeights":
+        import jax
+
+        return jax.tree.map(lambda x: x.astype(dtype), self)
+
+
+def _t(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x.T)
+
+
+def _conv_ffn_w(x: np.ndarray) -> np.ndarray:
+    """PyTorch conv weight [out, in, k] -> [k, in, out]."""
+    return np.ascontiguousarray(np.transpose(x, (2, 1, 0)))
+
+
+def load_magpie_weights(path: str, config: Optional[MagpieConfig] = None, dtype=jnp.float32):
+    """Load a Magpie GGUF checkpoint into (config, MagpieWeights)."""
+    reader = GGUFReader(path)
+    if config is None:
+        config = MagpieConfig.from_gguf_metadata(reader.metadata)
+    get = reader.tensor
+    c = config
+
+    def stack(fmt: str, n: int, transform):
+        return np.stack([transform(get(fmt.format(i))) for i in range(n)])
+
+    enc = EncoderWeights(
+        pos_emb=get("encoder.position_embeddings.weight"),
+        norm_self=stack("encoder.layers.{}.norm_self.weight", c.enc_layers, lambda x: x),
+        qkv=stack("encoder.layers.{}.self_attention.qkv_net.weight", c.enc_layers, _t),
+        sa_out=stack("encoder.layers.{}.self_attention.o_net.weight", c.enc_layers, _t),
+        norm_ff=stack("encoder.layers.{}.norm_pos_ff.weight", c.enc_layers, lambda x: x),
+        ff_proj=stack("encoder.layers.{}.pos_ff.proj.conv.weight", c.enc_layers, _conv_ffn_w),
+        ff_out=stack("encoder.layers.{}.pos_ff.o_net.conv.weight", c.enc_layers, _conv_ffn_w),
+        norm_out=get("encoder.norm_out.weight"),
+    )
+    dec = DecoderWeights(
+        pos_emb=get("decoder.position_embeddings.weight"),
+        norm_self=stack("decoder.layers.{}.norm_self.weight", c.dec_layers, lambda x: x),
+        qkv=stack("decoder.layers.{}.self_attention.qkv_net.weight", c.dec_layers, _t),
+        sa_out=stack("decoder.layers.{}.self_attention.o_net.weight", c.dec_layers, _t),
+        norm_xa_q=stack("decoder.layers.{}.norm_xattn_query.weight", c.dec_layers, lambda x: x),
+        norm_xa_mem=stack("decoder.layers.{}.norm_xattn_memory.weight", c.dec_layers, lambda x: x),
+        xa_q=stack("decoder.layers.{}.cross_attention.q_net.weight", c.dec_layers, _t),
+        xa_kv=stack("decoder.layers.{}.cross_attention.kv_net.weight", c.dec_layers, _t),
+        xa_out=stack("decoder.layers.{}.cross_attention.o_net.weight", c.dec_layers, _t),
+        norm_ff=stack("decoder.layers.{}.norm_pos_ff.weight", c.dec_layers, lambda x: x),
+        ff_proj=stack("decoder.layers.{}.pos_ff.proj.conv.weight", c.dec_layers,
+                      lambda x: _t(x[:, :, 0])),
+        ff_out=stack("decoder.layers.{}.pos_ff.o_net.conv.weight", c.dec_layers,
+                     lambda x: _t(x[:, :, 0])),
+        norm_out=get("decoder.norm_out.weight"),
+    )
+    lt = LocalTransformerWeights(
+        in_proj_w=_t(get("local_transformer_in_projection.weight")),
+        in_proj_b=get("local_transformer_in_projection.bias"),
+        pos_emb=get("local_transformer.position_embeddings.weight"),
+        norm_self=get("local_transformer.layers.0.norm_self.weight"),
+        qkv=_t(get("local_transformer.layers.0.self_attention.qkv_net.weight")),
+        sa_out=_t(get("local_transformer.layers.0.self_attention.o_net.weight")),
+        norm_ff=get("local_transformer.layers.0.norm_pos_ff.weight"),
+        ff_proj=_t(get("local_transformer.layers.0.pos_ff.proj.conv.weight")[:, :, 0]),
+        ff_out=_t(get("local_transformer.layers.0.pos_ff.o_net.conv.weight")[:, :, 0]),
+        out_proj_w=stack("local_transformer_out_projections.{}.weight", c.num_codebooks, _t),
+        out_proj_b=stack("local_transformer_out_projections.{}.bias", c.num_codebooks,
+                         lambda x: x),
+    )
+    weights = MagpieWeights(
+        text_emb=get("text_embedding.weight"),
+        audio_emb=np.stack([get(f"audio_embeddings.{i}.weight") for i in range(c.num_codebooks)]),
+        baked_context=get("baked_context_embedding.weight").reshape(
+            c.num_speakers, c.context_frames, c.d_model),
+        encoder=enc,
+        decoder=dec,
+        final_proj_w=_t(get("final_proj.weight")),
+        final_proj_b=get("final_proj.bias"),
+        lt=lt,
+    )
+    import jax
+
+    weights = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), weights)
+    return config, weights
+
+
+def random_magpie_weights(config: MagpieConfig, seed: int = 0, scale: float = 0.02,
+                          dtype=jnp.float32) -> MagpieWeights:
+    """Synthetic weights with realistic scales (tests / benchmarks)."""
+    rng = np.random.default_rng(seed)
+    c = config
+
+    def w(*shape):
+        return rng.normal(0.0, scale, size=shape).astype(np.float32)
+
+    def g(*shape):
+        return (1.0 + rng.normal(0.0, 0.05, size=shape)).astype(np.float32)
+
+    enc = EncoderWeights(
+        pos_emb=w(c.max_pos, c.d_model),
+        norm_self=g(c.enc_layers, c.d_model),
+        qkv=w(c.enc_layers, c.d_model, 3 * c.d_model),
+        sa_out=w(c.enc_layers, c.d_model, c.d_model),
+        norm_ff=g(c.enc_layers, c.d_model),
+        ff_proj=w(c.enc_layers, c.enc_kernel, c.d_model, c.d_ffn),
+        ff_out=w(c.enc_layers, c.enc_kernel, c.d_ffn, c.d_model),
+        norm_out=g(c.d_model),
+    )
+    dec = DecoderWeights(
+        pos_emb=w(c.max_pos, c.d_model),
+        norm_self=g(c.dec_layers, c.d_model),
+        qkv=w(c.dec_layers, c.d_model, 3 * c.d_model),
+        sa_out=w(c.dec_layers, c.d_model, c.d_model),
+        norm_xa_q=g(c.dec_layers, c.d_model),
+        norm_xa_mem=g(c.dec_layers, c.d_model),
+        xa_q=w(c.dec_layers, c.d_model, c.d_xa),
+        xa_kv=w(c.dec_layers, c.d_model, 2 * c.d_xa),
+        xa_out=w(c.dec_layers, c.d_xa, c.d_model),
+        norm_ff=g(c.dec_layers, c.d_model),
+        ff_proj=w(c.dec_layers, c.d_model, c.d_ffn),
+        ff_out=w(c.dec_layers, c.d_ffn, c.d_model),
+        norm_out=g(c.d_model),
+    )
+    lt = LocalTransformerWeights(
+        in_proj_w=w(c.d_model, c.lt_dim),
+        in_proj_b=w(c.lt_dim),
+        pos_emb=w(c.lt_max_pos, c.lt_dim),
+        norm_self=g(c.lt_dim),
+        qkv=w(c.lt_dim, 3 * c.lt_dim),
+        sa_out=w(c.lt_dim, c.lt_dim),
+        norm_ff=g(c.lt_dim),
+        ff_proj=w(c.lt_dim, c.lt_ffn_dim),
+        ff_out=w(c.lt_ffn_dim, c.lt_dim),
+        out_proj_w=w(c.num_codebooks, c.lt_dim, c.vocab_per_cb),
+        out_proj_b=w(c.num_codebooks, c.vocab_per_cb),
+    )
+    import jax
+
+    weights = MagpieWeights(
+        text_emb=w(c.text_vocab_size, c.d_model),
+        audio_emb=w(c.num_codebooks, c.vocab_per_cb, c.d_model),
+        baked_context=w(c.num_speakers, c.context_frames, c.d_model),
+        encoder=enc,
+        decoder=dec,
+        final_proj_w=w(c.d_model, c.num_codebooks * c.vocab_per_cb),
+        final_proj_b=w(c.num_codebooks * c.vocab_per_cb),
+        lt=lt,
+    )
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), weights)

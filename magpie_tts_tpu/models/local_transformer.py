@@ -1,0 +1,95 @@
+"""Local transformer: per-frame autoregressive sampling of the 8 codebook codes.
+
+The reference runs this on the host with ~25 fresh graphs and D2H round-trips per
+frame (src/magpie.cpp:1113-1317). Here the whole thing is one traced function that
+runs inside the jitted decode loop:
+
+- the growing sequence lives in a fixed [9, lt_dim] buffer; because the single LT
+  layer is causal, position ``cb`` only attends to the filled prefix, so no length
+  masking is needed beyond the causal mask;
+- position embeddings are added fresh on every inner step (the stored sequence is
+  the raw projected embeddings, matching magpie.cpp:1028-1030);
+- per-codebook output heads are stacked [8, lt_dim, vocab] and indexed inside the
+  ``fori_loop``.
+
+Returns sampled and argmax codes (EOS detection needs both).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MagpieConfig
+from ..io.magpie_weights import LocalTransformerWeights, MagpieWeights
+from ..ops.attention import mha_full
+from ..ops.conv_ffn import conv_ffn
+from ..ops.norms import layer_norm
+from ..ops import sampling
+
+_MAX_SEQ = 9  # decoder hidden + up to 8 code embeddings
+
+
+def lt_layer(seq: jnp.ndarray, lt: LocalTransformerWeights,
+             config: MagpieConfig) -> jnp.ndarray:
+    """One causal pre-norm LT layer over [T, lt_dim] (magpie.cpp:946-976)."""
+    h = layer_norm(seq, lt.norm_self, config.eps)
+    seq = seq + mha_full(h, lt.qkv, lt.sa_out, config.lt_heads, causal=True)
+    h = layer_norm(seq, lt.norm_ff, config.eps)
+    seq = seq + conv_ffn(h, lt.ff_proj, lt.ff_out)
+    return seq
+
+
+def lt_hidden_for_position(seq_buf: jnp.ndarray, lt: LocalTransformerWeights,
+                           config: MagpieConfig, position: jnp.ndarray) -> jnp.ndarray:
+    """Run the LT layer over the full buffer (+pos emb) and read one row."""
+    with_pos = seq_buf + lt.pos_emb[:_MAX_SEQ]
+    out = lt_layer(with_pos, lt, config)
+    return out[position]
+
+
+def sample_frame_codes(
+    decoder_hidden: jnp.ndarray,
+    weights: MagpieWeights,
+    config: MagpieConfig,
+    key: jax.Array,
+    temperature: jnp.ndarray,
+    top_k: int,
+    forbid_eos: jnp.ndarray,
+    static_forbidden_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """decoder_hidden: [d_model] -> (sampled [8], argmax [8]) int32 codes."""
+    lt = weights.lt
+    n_cb = config.num_codebooks
+
+    proj0 = (decoder_hidden @ lt.in_proj_w + lt.in_proj_b).astype(decoder_hidden.dtype)
+    seq_buf = jnp.zeros((_MAX_SEQ, config.lt_dim), dtype=decoder_hidden.dtype)
+    seq_buf = seq_buf.at[0].set(proj0)
+
+    def body(cb, carry):
+        seq_buf, sampled, argmax, key = carry
+        hidden = lt_hidden_for_position(seq_buf, lt, config, cb)
+        logits = (hidden @ lt.out_proj_w[cb] + lt.out_proj_b[cb]).astype(jnp.float32)
+        logits = sampling.mask_logits(logits, static_forbidden_mask, forbid_eos,
+                                      config.audio_eos_id)
+        key, subkey = jax.random.split(key)
+        code, amax = sampling.sample_top_k(subkey, logits, temperature, top_k)
+        sampled = sampled.at[cb].set(code)
+        argmax = argmax.at[cb].set(amax)
+
+        # Embed the sampled code with THIS codebook's embedding table, re-project,
+        # and append (magpie.cpp:1274-1313). The write lands at cb+1; for cb==7 it
+        # goes to the unused slot 8 (buffer has margin for exactly this).
+        emb = weights.audio_emb[cb, code]
+        proj = (emb @ lt.in_proj_w + lt.in_proj_b).astype(seq_buf.dtype)
+        seq_buf = jax.lax.dynamic_update_slice(seq_buf, proj[None, :], (cb + 1, 0))
+        return seq_buf, sampled, argmax, key
+
+    init = (seq_buf,
+            jnp.zeros((n_cb,), jnp.int32),
+            jnp.zeros((n_cb,), jnp.int32),
+            key)
+    _, sampled, argmax, _ = jax.lax.fori_loop(0, n_cb, body, init)
+    return sampled, argmax

@@ -1,0 +1,150 @@
+"""Magpie pipeline assembly: embeddings, prefill, and the on-device decode loop.
+
+The full synthesis program (reference call stack magpie.cpp:4063-4432) becomes
+three jittable stages:
+
+1. ``prepare``      — encoder + XA-KV precompute + context prefill + BOS step.
+2. ``decode_loop``  — the whole autoregressive loop as ``lax.while_loop``:
+                      sample frame codes (local transformer, on device), EOS test,
+                      embed, decoder step. Zero host round-trips.
+3. plain helpers for the full-sequence oracle path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MagpieConfig
+from ..io.magpie_weights import MagpieWeights
+from ..ops import sampling
+from . import decoder as decoder_mod
+from . import local_transformer as lt_mod
+from .encoder import run_encoder
+
+
+def audio_frame_embedding(codes: jnp.ndarray, weights: MagpieWeights,
+                          config: MagpieConfig) -> jnp.ndarray:
+    """codes: [..., 8] -> [..., d_model]: mean of the 8 per-codebook embeddings.
+
+    The 1/8 scale is load-bearing (reference magpie.cpp:1434, STATUS.md:207-230).
+    """
+    per_cb = jax.vmap(lambda table, idx: table[idx], in_axes=(0, -1), out_axes=-2)(
+        weights.audio_emb, codes)  # [..., 8, d_model]
+    return jnp.sum(per_cb, axis=-2) / config.num_codebooks
+
+
+def speaker_context(weights: MagpieWeights, speaker_id: jnp.ndarray) -> jnp.ndarray:
+    """Baked speaker context frames [context_frames, d_model] (magpie.cpp:3280-3305)."""
+    return weights.baked_context[speaker_id]
+
+
+class DecodeState(NamedTuple):
+    """Carry of the autoregressive while_loop. Donated across steps."""
+    k_cache: jnp.ndarray       # [L, max_seq, d_model]
+    v_cache: jnp.ndarray       # [L, max_seq, d_model]
+    hidden: jnp.ndarray        # [d_model] decoder output for the current frame
+    pos: jnp.ndarray           # i32: next cache position to write
+    frame_idx: jnp.ndarray     # i32: number of completed frames
+    codes: jnp.ndarray         # [max_dec_steps, 8] i32 (filled up to frame_idx)
+    done: jnp.ndarray          # bool
+    key: jax.Array             # PRNG key threaded through sampling
+
+
+def prepare(tokens: jnp.ndarray, enc_length: jnp.ndarray, speaker_id: jnp.ndarray,
+            weights: MagpieWeights, config: MagpieConfig,
+            cache_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
+    """Everything before the AR loop. tokens may be right-padded to a bucket.
+
+    Returns (xa_k, xa_v, state) where state.hidden is the BOS-step decoder output.
+    """
+    dtype = weights.text_emb.dtype
+    cache_dtype = cache_dtype or dtype
+    enc_out = run_encoder(tokens, weights, config)
+    xa_k, xa_v = decoder_mod.precompute_xa_kv(enc_out, weights.decoder, config)
+
+    k_cache = jnp.zeros((config.dec_layers, config.max_seq, config.d_model), cache_dtype)
+    v_cache = jnp.zeros_like(k_cache)
+
+    context = speaker_context(weights, speaker_id).astype(dtype)
+    k_cache, v_cache = decoder_mod.prefill(
+        context, xa_k, xa_v, k_cache, v_cache, weights, config, enc_length=enc_length)
+
+    bos_codes = jnp.full((config.num_codebooks,), config.audio_bos_id, jnp.int32)
+    bos_emb = audio_frame_embedding(bos_codes, weights, config).astype(dtype)
+    hidden, k_cache, v_cache = decoder_mod.decode_step(
+        bos_emb, jnp.int32(config.context_frames), xa_k, xa_v, k_cache, v_cache,
+        weights, config, enc_length=enc_length)
+
+    state = DecodeState(
+        k_cache=k_cache, v_cache=v_cache, hidden=hidden,
+        pos=jnp.int32(config.context_frames + 1),
+        frame_idx=jnp.int32(0),
+        codes=jnp.zeros((config.max_dec_steps, config.num_codebooks), jnp.int32),
+        done=jnp.bool_(False),
+        key=jax.random.PRNGKey(0),
+    )
+    return xa_k, xa_v, state
+
+
+def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
+                enc_length: jnp.ndarray, weights: MagpieWeights, config: MagpieConfig,
+                key: jax.Array, temperature: jnp.ndarray, top_k: int,
+                max_steps: Optional[int] = None) -> DecodeState:
+    """Run the autoregressive loop fully on device.
+
+    Per iteration (mirrors magpie.cpp:4321-4407): sample all 8 codes from the
+    current hidden, stop on EOS (`argmax_or_multinomial_any`), else store the
+    frame and run one decoder step on its embedding.
+    """
+    max_steps = max_steps or config.max_dec_steps
+    static_mask = sampling.forbidden_token_mask(
+        config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)
+    state = state._replace(key=key)
+    dtype = weights.text_emb.dtype
+
+    def cond(s: DecodeState):
+        return (~s.done) & (s.frame_idx < max_steps)
+
+    def body(s: DecodeState) -> DecodeState:
+        forbid_eos = s.frame_idx < config.min_generated_frames
+        key, subkey = jax.random.split(s.key)
+        sampled, argmax = lt_mod.sample_frame_codes(
+            s.hidden, weights, config, subkey, temperature, top_k,
+            forbid_eos, static_mask)
+
+        is_eos = sampling.frame_has_eos(sampled, argmax, config.audio_eos_id)
+
+        # Always write; the frame only "counts" if it wasn't EOS (consumers read
+        # codes[:frame_idx], so an EOS frame written here is simply ignored).
+        codes = jax.lax.dynamic_update_slice(s.codes, sampled[None, :], (s.frame_idx, 0))
+        frame_idx = jnp.where(is_eos, s.frame_idx, s.frame_idx + 1)
+
+        emb = audio_frame_embedding(sampled, weights, config).astype(dtype)
+        hidden, k_cache, v_cache = decoder_mod.decode_step(
+            emb, s.pos, xa_k, xa_v, s.k_cache, s.v_cache, weights, config,
+            enc_length=enc_length)
+
+        return DecodeState(
+            k_cache=k_cache, v_cache=v_cache, hidden=hidden,
+            pos=s.pos + 1, frame_idx=frame_idx, codes=codes,
+            done=is_eos, key=key)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
+                             speaker_id: jnp.ndarray, key: jax.Array,
+                             temperature: jnp.ndarray, weights: MagpieWeights,
+                             config: MagpieConfig, top_k: int,
+                             max_steps: Optional[int] = None):
+    """The full single-utterance synthesis program (jit target).
+
+    Returns (codes [max_dec_steps, 8], n_frames scalar i32).
+    """
+    xa_k, xa_v, state = prepare(tokens, enc_length, speaker_id, weights, config)
+    state = decode_loop(xa_k, xa_v, state, enc_length, weights, config,
+                        key, temperature, top_k, max_steps)
+    return state.codes, state.frame_idx

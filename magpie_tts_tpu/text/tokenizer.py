@@ -1,0 +1,117 @@
+"""IPA phoneme tokenizer.
+
+Pipeline semantics match the reference (src/magpie.cpp:404-495):
+BOS, normalize + ASCII-lowercase, surround sentence punctuation with spaces,
+then per word: single-char vocab hit -> token; dictionary word -> greedy
+longest-match (<= 4 bytes) of its IPA string into vocab ids, skipping unknown
+bytes; OOV word -> per-character uppercase char tokens; words separated by the
+space token; trailing space dropped; EOS.
+
+Vocab and pronunciation dictionary are carried in GGUF metadata
+(``magpie.tokenizer.vocab`` newline-separated, ``magpie.tokenizer.dict`` TSV).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Mapping, Optional
+
+from .normalize import normalize_text
+
+_PUNCT = {",", ".", "!", "?", ":", ";"}
+_MAX_MATCH_BYTES = 4
+
+
+class MagpieTokenizer:
+    def __init__(
+        self,
+        vocab: List[str],
+        pron_dict: Optional[Dict[str, str]] = None,
+        pad_id: int = 94,
+        oov_id: int = 95,
+        space_id: int = 93,
+        bos_id: int = 2378,
+        eos_id: int = 2379,
+    ):
+        self.vocab = vocab
+        self.token_to_id = {tok: i for i, tok in enumerate(vocab)}
+        self.dict = pron_dict or {}
+        self.pad_id = pad_id
+        self.oov_id = oov_id
+        self.space_id = space_id
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+        # Greedy matching operates on UTF-8 bytes (multi-byte IPA chars): precompute
+        # a byte-keyed view of the vocab for exact parity with byte-wise matching.
+        self._byte_vocab = {tok.encode("utf-8"): i for tok, i in self.token_to_id.items()}
+
+    @classmethod
+    def from_gguf_metadata(cls, kv: Mapping[str, object]) -> "MagpieTokenizer":
+        vocab_str = kv.get("magpie.tokenizer.vocab")
+        if not isinstance(vocab_str, str):
+            raise ValueError("magpie.tokenizer.vocab missing from GGUF metadata")
+        vocab = vocab_str.split("\n")
+        pron: Dict[str, str] = {}
+        dict_str = kv.get("magpie.tokenizer.dict")
+        if isinstance(dict_str, str):
+            for line in dict_str.split("\n"):
+                word, tab, ipa = line.partition("\t")
+                if tab:
+                    pron[word] = ipa
+        return cls(
+            vocab,
+            pron,
+            pad_id=int(kv.get("magpie.tokenizer.pad", 94)),
+            oov_id=int(kv.get("magpie.tokenizer.oov", 95)),
+            space_id=int(kv.get("magpie.tokenizer.space", 93)),
+            bos_id=int(kv.get("magpie.text_bos_id", 2378)),
+            eos_id=int(kv.get("magpie.text_eos_id", 2379)),
+        )
+
+    def _match_ipa(self, pron: str) -> List[int]:
+        """Greedy longest-match of an IPA string into vocab ids, byte-wise."""
+        ids: List[int] = []
+        data = pron.encode("utf-8")
+        i = 0
+        while i < len(data):
+            for length in range(min(len(data) - i, _MAX_MATCH_BYTES), 0, -1):
+                tok_id = self._byte_vocab.get(data[i:i + length])
+                if tok_id is not None:
+                    ids.append(tok_id)
+                    i += length
+                    break
+            else:
+                i += 1  # unknown byte: skip
+        return ids
+
+    def encode(self, text: str) -> List[int]:
+        tokens = [self.bos_id]
+
+        normalized = _ascii_lower(normalize_text(text))
+        spaced = "".join(f" {c} " if c in _PUNCT else c for c in normalized)
+
+        emitted_any = False
+        for word in spaced.split(" "):
+            if not word:
+                continue
+            if len(word) == 1 and word in self.token_to_id:
+                tokens.append(self.token_to_id[word])
+            elif word in self.dict:
+                tokens.extend(self._match_ipa(self.dict[word]))
+            else:
+                for c in word:
+                    upper = c.upper() if "a" <= c <= "z" else c
+                    tok_id = self.token_to_id.get(upper)
+                    if tok_id is not None:
+                        tokens.append(tok_id)
+            tokens.append(self.space_id)
+            emitted_any = True
+
+        if emitted_any and tokens[-1] == self.space_id:
+            tokens.pop()
+        tokens.append(self.eos_id)
+        return tokens
+
+
+def _ascii_lower(text: str) -> str:
+    """ASCII-only lowercasing (multi-byte chars untouched, unlike str.lower())."""
+    return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in text)
