@@ -142,4 +142,15 @@ class CodecConfig:
             key = f"codec.{field.name}"
             if key in kv and not isinstance(field.default, tuple):
                 updates[field.name] = type(field.default)(kv[key])
+        # Per-stage structure, written as codec.<name>_{i} scalars by our own
+        # converter (the reference converter omits them; defaults cover the
+        # production model).
+        for name in ("up_sample_rates", "up_channels", "up_kernels"):
+            if f"codec.{name}_0" in kv:
+                vals = []
+                i = 0
+                while f"codec.{name}_{i}" in kv:
+                    vals.append(int(kv[f"codec.{name}_{i}"]))
+                    i += 1
+                updates[name] = tuple(vals)
         return cls(**updates)

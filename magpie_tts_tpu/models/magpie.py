@@ -92,12 +92,17 @@ def prepare(tokens: jnp.ndarray, enc_length: jnp.ndarray, speaker_id: jnp.ndarra
 def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
                 enc_length: jnp.ndarray, weights: MagpieWeights, config: MagpieConfig,
                 key: jax.Array, temperature: jnp.ndarray, top_k: int,
-                max_steps: Optional[int] = None) -> DecodeState:
+                max_steps: Optional[int] = None,
+                target_frames: Optional[jnp.ndarray] = None) -> DecodeState:
     """Run the autoregressive loop fully on device.
 
     Per iteration (mirrors magpie.cpp:4321-4407): sample all 8 codes from the
     current hidden, stop on EOS (`argmax_or_multinomial_any`), else store the
     frame and run one decoder step on its embedding.
+
+    ``target_frames`` (traced) bounds the loop for incremental/streaming decode:
+    the loop stops once ``frame_idx`` reaches it, preserving all state so a later
+    call can continue.
     """
     max_steps = max_steps or config.max_dec_steps
     static_mask = sampling.forbidden_token_mask(
@@ -106,7 +111,10 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     dtype = weights.text_emb.dtype
 
     def cond(s: DecodeState):
-        return (~s.done) & (s.frame_idx < max_steps)
+        in_budget = s.frame_idx < max_steps
+        if target_frames is not None:
+            in_budget = in_budget & (s.frame_idx < target_frames)
+        return (~s.done) & in_budget
 
     def body(s: DecodeState) -> DecodeState:
         forbid_eos = s.frame_idx < config.min_generated_frames

@@ -46,6 +46,7 @@ def sample_top_k(key: jax.Array, logits: jnp.ndarray, temperature: jnp.ndarray,
     Greedy when temperature < 0.01 (matching magpie.cpp:1263). top_k is static.
     """
     argmax_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    top_k = min(top_k, logits.shape[-1])  # k = min(top_k, n), magpie.cpp:1082
     vals, idx = jax.lax.top_k(logits, top_k)
     safe_temp = jnp.maximum(temperature, GREEDY_TEMP_THRESHOLD)
     draw = jax.random.categorical(key, vals / safe_temp, axis=-1)

@@ -1,0 +1,73 @@
+"""MagpiePipeline: model files -> text -> waveform. The top-level user API."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CodecConfig, MagpieConfig
+from .io.codec_weights import load_codec_weights, random_codec_weights
+from .io.gguf import GGUFReader
+from .io.magpie_weights import load_magpie_weights, random_magpie_weights
+from .io.wav import write_wav
+from .runtime.engine import CodecEngine, MagpieEngine
+from .runtime import streaming
+from .text.tokenizer import MagpieTokenizer
+
+
+@dataclasses.dataclass
+class MagpiePipeline:
+    tokenizer: MagpieTokenizer
+    engine: MagpieEngine
+    codec: Optional[CodecEngine]
+    config: MagpieConfig
+
+    @classmethod
+    def from_gguf(cls, model_path: str, codec_path: Optional[str] = None,
+                  compute_dtype=jnp.float32) -> "MagpiePipeline":
+        config, weights = load_magpie_weights(model_path)
+        reader = GGUFReader(model_path)
+        tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
+        engine = MagpieEngine(weights, config, compute_dtype=compute_dtype)
+        codec = None
+        if codec_path:
+            codec_config, codec_weights = load_codec_weights(codec_path)
+            codec = CodecEngine(codec_weights, codec_config, compute_dtype=compute_dtype)
+        return cls(tokenizer=tokenizer, engine=engine, codec=codec, config=config)
+
+    def synthesize_codes(self, text: str, *, speaker_id: int = 0,
+                         temperature: float = 0.7, top_k: int = 80,
+                         seed: int = 0) -> np.ndarray:
+        token_ids = self.tokenizer.encode(text)
+        result = self.engine.synthesize_codes(
+            token_ids, speaker_id=speaker_id, temperature=temperature,
+            top_k=top_k, seed=seed)
+        return result.codes
+
+    def synthesize(self, text: str, *, speaker_id: int = 0,
+                   temperature: float = 0.7, top_k: int = 80,
+                   seed: int = 0) -> np.ndarray:
+        """text -> float32 waveform at config.sample_rate."""
+        if self.codec is None:
+            raise ValueError("no codec loaded; pass codec_path to from_gguf")
+        codes = self.synthesize_codes(text, speaker_id=speaker_id,
+                                      temperature=temperature, top_k=top_k,
+                                      seed=seed)
+        return self.codec.decode(codes)
+
+    def synthesize_to_wav(self, text: str, output_path: str, **kwargs) -> int:
+        samples = self.synthesize(text, **kwargs)
+        write_wav(output_path, samples, self.config.sample_rate)
+        return len(samples)
+
+    def stream(self, text: str,
+               params: Optional[streaming.StreamParams] = None
+               ) -> Iterator[streaming.AudioChunk]:
+        if self.codec is None:
+            raise ValueError("no codec loaded; pass codec_path to from_gguf")
+        params = params or streaming.StreamParams()
+        return streaming.stream_text(self.engine, self.codec, self.tokenizer,
+                                     text, params)

@@ -1,0 +1,205 @@
+"""MagpieEngine: compiled synthesis with shape bucketing and persistent executables.
+
+The reference's fastest path emulates compilation reuse with a persistent graph
+allocator (magpie.cpp:4253-4311). Here reuse is structural: each (token-bucket,
+top_k) pair compiles once into a single XLA executable that runs encoder, XA
+precompute, context prefill and the entire autoregressive while_loop on device,
+then is reused for every subsequent utterance. Codec decode compiles once per
+frame bucket.
+
+Bucketing is sound because the encoder is causal (pad tokens can't influence the
+valid prefix) and the codec is causal (pad frames can't influence earlier samples);
+cross-attention masks padded encoder keys via ``enc_length``.
+"""
+
+from __future__ import annotations
+
+import bisect
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CodecConfig, MagpieConfig
+from ..io.codec_weights import CodecWeights
+from ..io.magpie_weights import MagpieWeights
+from ..models import codec as codec_mod
+from ..models import magpie as magpie_mod
+
+DEFAULT_TOKEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
+DEFAULT_FRAME_BUCKETS = (8, 16, 32, 64, 128, 256, 384, 512)
+
+
+def pick_bucket(buckets: Sequence[int], n: int) -> int:
+    idx = bisect.bisect_left(buckets, n)
+    if idx == len(buckets):
+        raise ValueError(f"length {n} exceeds largest bucket {buckets[-1]}")
+    return buckets[idx]
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    codes: np.ndarray       # [n_frames, 8] int32
+    n_frames: int
+
+
+class MagpieEngine:
+    """Compiled TTS code generation for one model instance."""
+
+    def __init__(
+        self,
+        weights: MagpieWeights,
+        config: MagpieConfig,
+        compute_dtype=jnp.float32,
+        token_buckets: Sequence[int] = DEFAULT_TOKEN_BUCKETS,
+    ):
+        self.config = config
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.weights = (weights if weights.text_emb.dtype == self.compute_dtype
+                        else weights.astype(self.compute_dtype))
+        self.token_buckets = tuple(token_buckets)
+        self._synth_cache: Dict[Tuple[int, int], object] = {}
+        self._chunk_cache: Dict[Tuple[int, int], object] = {}
+
+    # ---- compiled program management -------------------------------------
+
+    def _synth_fn(self, bucket: int, top_k: int):
+        key = (bucket, top_k)
+        fn = self._synth_cache.get(key)
+        if fn is None:
+            weights, config = self.weights, self.config
+
+            def program(tokens, enc_length, speaker_id, rng_key, temperature):
+                return magpie_mod.synthesize_codes_program(
+                    tokens, enc_length, speaker_id, rng_key, temperature,
+                    weights, config, top_k=top_k)
+
+            fn = jax.jit(program)
+            self._synth_cache[key] = fn
+        return fn
+
+    def _prepare_fn(self, bucket: int):
+        key = (bucket, -1)
+        fn = self._synth_cache.get(key)
+        if fn is None:
+            weights, config = self.weights, self.config
+
+            def program(tokens, enc_length, speaker_id):
+                return magpie_mod.prepare(tokens, enc_length, speaker_id,
+                                          weights, config)
+
+            fn = jax.jit(program)
+            self._synth_cache[key] = fn
+        return fn
+
+    def _chunk_fn(self, bucket: int, top_k: int):
+        key = (bucket, top_k)
+        fn = self._chunk_cache.get(key)
+        if fn is None:
+            weights, config = self.weights, self.config
+
+            def program(xa_k, xa_v, state, enc_length, rng_key, temperature,
+                        target_frames):
+                return magpie_mod.decode_loop(
+                    xa_k, xa_v, state, enc_length, weights, config,
+                    rng_key, temperature, top_k, target_frames=target_frames)
+
+            fn = jax.jit(program, donate_argnums=(2,))
+            self._chunk_cache[key] = fn
+        return fn
+
+    def _pad_tokens(self, token_ids: Sequence[int]):
+        n = len(token_ids)
+        bucket = pick_bucket(self.token_buckets, n)
+        padded = np.zeros(bucket, np.int32)
+        padded[:n] = np.asarray(token_ids, np.int32)
+        return jnp.asarray(padded), jnp.int32(n), bucket
+
+    # ---- public API -------------------------------------------------------
+
+    def synthesize_codes(self, token_ids: Sequence[int], *, speaker_id: int = 0,
+                         temperature: float = 0.7, top_k: int = 80,
+                         seed: int = 0) -> SynthesisResult:
+        """Generate audio codes for one tokenized utterance (blocking)."""
+        tokens, enc_length, bucket = self._pad_tokens(token_ids)
+        fn = self._synth_fn(bucket, top_k)
+        codes, n_frames = fn(tokens, enc_length, jnp.int32(speaker_id),
+                             jax.random.PRNGKey(seed), jnp.float32(temperature))
+        n = int(n_frames)
+        return SynthesisResult(codes=np.asarray(codes[:n]), n_frames=n)
+
+    def begin_stream(self, token_ids: Sequence[int], *, speaker_id: int = 0):
+        """Prefill for incremental decoding. Returns an opaque stream context."""
+        tokens, enc_length, bucket = self._pad_tokens(token_ids)
+        xa_k, xa_v, state = self._prepare_fn(bucket)(
+            tokens, enc_length, jnp.int32(speaker_id))
+        return {"xa_k": xa_k, "xa_v": xa_v, "state": state,
+                "enc_length": enc_length, "bucket": bucket, "chunk_idx": 0}
+
+    def decode_chunk(self, stream, *, n_frames: int, temperature: float = 0.7,
+                     top_k: int = 80, seed: int = 0) -> Tuple[np.ndarray, bool]:
+        """Advance the AR loop by up to ``n_frames`` new frames.
+
+        Returns (new_codes [m, 8], done) where m <= n_frames; done is True once
+        EOS fired or max steps reached.
+        """
+        state = stream["state"]
+        start = int(state.frame_idx)
+        target = min(start + n_frames, self.config.max_dec_steps)
+        fn = self._chunk_fn(stream["bucket"], top_k)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), stream["chunk_idx"])
+        state = fn(stream["xa_k"], stream["xa_v"], state, stream["enc_length"],
+                   key, jnp.float32(temperature), jnp.int32(target))
+        stream["state"] = state
+        stream["chunk_idx"] += 1
+        end = int(state.frame_idx)
+        done = bool(state.done) or end >= self.config.max_dec_steps
+        new_codes = np.asarray(state.codes[start:end])
+        return new_codes, done
+
+
+class CodecEngine:
+    """Compiled nano-codec vocoder with frame bucketing."""
+
+    def __init__(self, weights: CodecWeights, config: CodecConfig,
+                 compute_dtype=jnp.float32,
+                 frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS):
+        self.config = config
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.weights = (weights if weights.pre_conv_b.dtype == self.compute_dtype
+                        else weights.astype(self.compute_dtype))
+        self.frame_buckets = tuple(frame_buckets)
+        self._decode_cache: Dict[int, object] = {}
+
+    def _decode_fn(self, bucket: int):
+        fn = self._decode_cache.get(bucket)
+        if fn is None:
+            weights, config = self.weights, self.config
+            fn = jax.jit(lambda codes: codec_mod.codec_decode(codes, weights, config))
+            self._decode_cache[bucket] = fn
+        return fn
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """codes: [n_frames, 8] int32 -> waveform float32 [n_frames * hop]."""
+        codes = np.asarray(codes, np.int32)
+        n = codes.shape[0]
+        if n == 0:
+            return np.zeros(0, np.float32)
+        bucket = pick_bucket(self.frame_buckets, n)
+        padded = np.zeros((bucket, self.config.num_codebooks), np.int32)
+        padded[:n] = codes
+        audio = self._decode_fn(bucket)(jnp.asarray(padded.T))
+        return np.asarray(audio[: n * self.config.hop_length], np.float32)
+
+    def decode_with_context(self, codes: np.ndarray, n_context: int) -> np.ndarray:
+        """Decode [context; new] frames, return only the new frames' samples.
+
+        Because the vocoder is fully causal with a bounded left receptive field,
+        priming with enough context makes chunked output bit-identical to a full
+        decode (used by streaming).
+        """
+        audio = self.decode(codes)
+        return audio[n_context * self.config.hop_length:]
