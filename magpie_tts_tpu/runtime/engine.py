@@ -70,9 +70,12 @@ class MagpieEngine:
         key = (bucket, top_k)
         fn = self._synth_cache.get(key)
         if fn is None:
-            weights, config = self.weights, self.config
+            config = self.config
 
-            def program(tokens, enc_length, speaker_id, rng_key, temperature):
+            # Weights are a jit argument (not a closure) so they are NOT inlined
+            # as constants into the compiled program.
+            def program(weights, tokens, enc_length, speaker_id, rng_key,
+                        temperature):
                 return magpie_mod.synthesize_codes_program(
                     tokens, enc_length, speaker_id, rng_key, temperature,
                     weights, config, top_k=top_k)
@@ -85,9 +88,9 @@ class MagpieEngine:
         key = (bucket, -1)
         fn = self._synth_cache.get(key)
         if fn is None:
-            weights, config = self.weights, self.config
+            config = self.config
 
-            def program(tokens, enc_length, speaker_id):
+            def program(weights, tokens, enc_length, speaker_id):
                 return magpie_mod.prepare(tokens, enc_length, speaker_id,
                                           weights, config)
 
@@ -99,15 +102,15 @@ class MagpieEngine:
         key = (bucket, top_k)
         fn = self._chunk_cache.get(key)
         if fn is None:
-            weights, config = self.weights, self.config
+            config = self.config
 
-            def program(xa_k, xa_v, state, enc_length, rng_key, temperature,
-                        target_frames):
+            def program(weights, xa_k, xa_v, state, enc_length, rng_key,
+                        temperature, target_frames):
                 return magpie_mod.decode_loop(
                     xa_k, xa_v, state, enc_length, weights, config,
                     rng_key, temperature, top_k, target_frames=target_frames)
 
-            fn = jax.jit(program, donate_argnums=(2,))
+            fn = jax.jit(program, donate_argnums=(3,))
             self._chunk_cache[key] = fn
         return fn
 
@@ -126,8 +129,9 @@ class MagpieEngine:
         """Generate audio codes for one tokenized utterance (blocking)."""
         tokens, enc_length, bucket = self._pad_tokens(token_ids)
         fn = self._synth_fn(bucket, top_k)
-        codes, n_frames = fn(tokens, enc_length, jnp.int32(speaker_id),
-                             jax.random.PRNGKey(seed), jnp.float32(temperature))
+        codes, n_frames = fn(self.weights, tokens, enc_length,
+                             jnp.int32(speaker_id), jax.random.PRNGKey(seed),
+                             jnp.float32(temperature))
         n = int(n_frames)
         return SynthesisResult(codes=np.asarray(codes[:n]), n_frames=n)
 
@@ -135,7 +139,7 @@ class MagpieEngine:
         """Prefill for incremental decoding. Returns an opaque stream context."""
         tokens, enc_length, bucket = self._pad_tokens(token_ids)
         xa_k, xa_v, state = self._prepare_fn(bucket)(
-            tokens, enc_length, jnp.int32(speaker_id))
+            self.weights, tokens, enc_length, jnp.int32(speaker_id))
         return {"xa_k": xa_k, "xa_v": xa_v, "state": state,
                 "enc_length": enc_length, "bucket": bucket, "chunk_idx": 0}
 
@@ -151,8 +155,9 @@ class MagpieEngine:
         target = min(start + n_frames, self.config.max_dec_steps)
         fn = self._chunk_fn(stream["bucket"], top_k)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), stream["chunk_idx"])
-        state = fn(stream["xa_k"], stream["xa_v"], state, stream["enc_length"],
-                   key, jnp.float32(temperature), jnp.int32(target))
+        state = fn(self.weights, stream["xa_k"], stream["xa_v"], state,
+                   stream["enc_length"], key, jnp.float32(temperature),
+                   jnp.int32(target))
         stream["state"] = state
         stream["chunk_idx"] += 1
         end = int(state.frame_idx)
@@ -177,8 +182,9 @@ class CodecEngine:
     def _decode_fn(self, bucket: int):
         fn = self._decode_cache.get(bucket)
         if fn is None:
-            weights, config = self.weights, self.config
-            fn = jax.jit(lambda codes: codec_mod.codec_decode(codes, weights, config))
+            config = self.config
+            fn = jax.jit(lambda weights, codes: codec_mod.codec_decode(
+                codes, weights, config))
             self._decode_cache[bucket] = fn
         return fn
 
@@ -191,7 +197,7 @@ class CodecEngine:
         bucket = pick_bucket(self.frame_buckets, n)
         padded = np.zeros((bucket, self.config.num_codebooks), np.int32)
         padded[:n] = codes
-        audio = self._decode_fn(bucket)(jnp.asarray(padded.T))
+        audio = self._decode_fn(bucket)(self.weights, jnp.asarray(padded.T))
         return np.asarray(audio[: n * self.config.hop_length], np.float32)
 
     def decode_with_context(self, codes: np.ndarray, n_context: int) -> np.ndarray:
