@@ -59,8 +59,12 @@ def _wio(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(x, (2, 1, 0)))
 
 
-def load_codec_weights(path: str, config: CodecConfig = None, dtype=jnp.float32):
-    reader = GGUFReader(path)
+def load_codec_weights(path: str, config: CodecConfig = None, dtype=jnp.float32,
+                       reader=None):
+    if reader is None:
+        from .native import open_gguf
+
+        reader = open_gguf(path)
     if config is None:
         config = CodecConfig.from_gguf_metadata(reader.metadata)
     get = reader.tensor

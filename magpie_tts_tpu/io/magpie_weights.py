@@ -89,9 +89,16 @@ def _conv_ffn_w(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(x, (2, 1, 0)))
 
 
-def load_magpie_weights(path: str, config: Optional[MagpieConfig] = None, dtype=jnp.float32):
-    """Load a Magpie GGUF checkpoint into (config, MagpieWeights)."""
-    reader = GGUFReader(path)
+def load_magpie_weights(path: str, config: Optional[MagpieConfig] = None, dtype=jnp.float32,
+                        reader=None):
+    """Load a Magpie GGUF checkpoint into (config, MagpieWeights).
+
+    Uses the native C++ parser when built (io/native.py), else pure Python.
+    """
+    if reader is None:
+        from .native import open_gguf
+
+        reader = open_gguf(path)
     if config is None:
         config = MagpieConfig.from_gguf_metadata(reader.metadata)
     get = reader.tensor

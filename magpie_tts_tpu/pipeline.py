@@ -28,8 +28,10 @@ class MagpiePipeline:
     @classmethod
     def from_gguf(cls, model_path: str, codec_path: Optional[str] = None,
                   compute_dtype=jnp.float32) -> "MagpiePipeline":
-        config, weights = load_magpie_weights(model_path)
-        reader = GGUFReader(model_path)
+        from .io.native import open_gguf
+
+        reader = open_gguf(model_path)
+        config, weights = load_magpie_weights(model_path, reader=reader)
         tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
         engine = MagpieEngine(weights, config, compute_dtype=compute_dtype)
         codec = None
