@@ -59,21 +59,38 @@ def grouped_conv_transpose1d(x: jnp.ndarray, w_pt: jnp.ndarray, b: jnp.ndarray,
     returns [N, T*stride, out_ch] (right-trimmed by K - stride for causality,
     matching nano-codec.cpp:500-505).
 
-    Identity used: ConvTranspose(x, w, s) == conv(dilate(x, s), flip_k(w)) with
-    (K-1, K-1) padding; with feature_group_count = out_ch the grouped structure
-    (input channels [2g, 2g+1] -> output channel g) maps exactly onto XLA's
-    channel-group convention.
+    When K is a multiple of stride (all production stages: K = 2*stride) this is
+    computed as one einsum + overlap-add — each input frame contributes a length-K
+    patch starting at t*stride; patches are summed with frame offsets. This
+    avoids grouped-conv lowering entirely (>2x faster than
+    feature_group_count=out_ch on TPU, vs a 432-iteration loop in the reference).
     """
     in_ch, k = w_pt.shape
     out_ch = in_ch // 2
-    # [in_ch, K] -> [out_ch, 2, K] -> flip K -> [K, 2, out_ch] (WIO, grouped)
+    if k % stride == 0:
+        n, T, _ = x.shape
+        m = k // stride
+        xp = x.reshape(n, T, out_ch, 2)
+        wp = w_pt.reshape(out_ch, 2, k)
+        # z[n, t, k, g]: input frame t's length-K patch for output channel g
+        z = jnp.einsum("ntgj,gjk->ntkg", xp, wp,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        z = z.reshape(n, T, m, stride, out_ch)
+        out = z[:, :, 0]
+        for j in range(1, m):
+            shifted = jnp.pad(z[:, :, j], ((0, 0), (j, 0), (0, 0), (0, 0)))[:, :T]
+            out = out + shifted
+        out = out.reshape(n, T * stride, out_ch)
+        return (out + b).astype(x.dtype)
+
+    # General fallback: ConvTranspose(x, w, s) == conv(dilate(x, s), flip_k(w))
+    # with (K-1, K-1) padding and feature_group_count = out_ch.
     w = w_pt.reshape(out_ch, 2, k)[:, :, ::-1]
     w = jnp.transpose(w, (2, 1, 0))
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,), padding=[(k - 1, k - 1)],
         lhs_dilation=(stride,), dimension_numbers=_DN,
         feature_group_count=out_ch, preferred_element_type=jnp.float32)
-    # full output length (T-1)*s + K; causal trim to T*s
     out = out[:, : x.shape[1] * stride, :]
     return (out + b).astype(x.dtype)
 
@@ -103,8 +120,12 @@ def residual_block(x: jnp.ndarray, blk: ResBlockWeights, dilation: int,
     return x + h
 
 
-def res_layer(x: jnp.ndarray, branches, dilations, leaky_slope: float) -> jnp.ndarray:
-    """Mean of 3 parallel kernel branches, each 3 sequential dilated blocks."""
+def res_layer_reference(x: jnp.ndarray, branches, dilations,
+                        leaky_slope: float) -> jnp.ndarray:
+    """Mean of 3 parallel kernel branches, each 3 sequential dilated blocks.
+
+    Straightforward per-branch form (kept as the oracle for the merged version).
+    """
     acc = None
     for branch in branches:
         h = x
@@ -112,6 +133,77 @@ def res_layer(x: jnp.ndarray, branches, dilations, leaky_slope: float) -> jnp.nd
             h = residual_block(h, blk, dilation, leaky_slope)
         acc = h if acc is None else acc + h
     return acc / len(branches)
+
+
+def _merged_half_snake(x: jnp.ndarray, alphas, C: int,
+                       leaky_slope: float) -> jnp.ndarray:
+    """HalfSnake over branch-concatenated channels [.., B*C].
+
+    Channel b*C + c is snake with branch b's alpha when c < len(alpha), else
+    LeakyReLU. One fused where() instead of B splits+concats.
+    """
+    a_full = jnp.concatenate([
+        jnp.concatenate([a, jnp.ones((C - a.shape[0],), a.dtype)]) for a in alphas])
+    mask = jnp.concatenate([
+        (jnp.arange(C) < a.shape[0]) for a in alphas])
+    xf = x.astype(jnp.float32)
+    af = a_full.astype(jnp.float32)
+    s = jnp.sin(af * xf)
+    snake = xf + (s * s) / af
+    leaky = jnp.where(xf >= 0, xf, leaky_slope * xf)
+    return jnp.where(mask, snake, leaky).astype(x.dtype)
+
+
+def _merged_conv_weight(ws, kmax: int) -> jnp.ndarray:
+    """Per-branch WIO weights [k_b, C, C] -> grouped [kmax, C, B*C].
+
+    Kernels are front-padded with zeros: with causal left padding of
+    (kmax-1)*dilation, a front-padded kernel computes exactly the shorter
+    branch's causal conv.
+    """
+    padded = [jnp.pad(w, ((kmax - w.shape[0], 0), (0, 0), (0, 0))) for w in ws]
+    return jnp.concatenate(padded, axis=2)
+
+
+def res_layer(x: jnp.ndarray, branches, dilations, leaky_slope: float) -> jnp.ndarray:
+    """Merged-branch res layer: the 3 kernel branches run as ONE chain of
+    grouped convs over [N, T, 3C] (feature_group_count = 3).
+
+    The branches are independent parallel chains with identical channel counts
+    and dilation schedules; only kernel sizes differ (3/7/11), handled by
+    front-zero-padding to the max kernel. 18 convs collapse to 6 per stage —
+    a large win on TPU where per-op overhead dominates these small-channel convs.
+    Exact (not approximate): verified against res_layer_reference and the torch
+    oracle in tests.
+    """
+    n, T, C = x.shape
+    B = len(branches)
+    n_blocks = len(dilations)
+    kmax = max(b[0].in_conv_w.shape[0] for b in branches)
+
+    h = jnp.tile(x, (1, 1, B))
+    for blk_idx, dilation in enumerate(dilations):
+        blocks = [branch[blk_idx] for branch in branches]
+        in_w = _merged_conv_weight([b.in_conv_w for b in blocks], kmax)
+        sk_w = _merged_conv_weight([b.sk_conv_w for b in blocks], kmax)
+        in_b = jnp.concatenate([b.in_conv_b for b in blocks])
+        sk_b = jnp.concatenate([b.sk_conv_b for b in blocks])
+
+        r = _merged_half_snake(h, [b.in_alpha for b in blocks], C, leaky_slope)
+        r = jax.lax.conv_general_dilated(
+            r, in_w, window_strides=(1,), padding=[((kmax - 1) * dilation, 0)],
+            rhs_dilation=(dilation,), dimension_numbers=_DN,
+            feature_group_count=B, preferred_element_type=jnp.float32)
+        r = (r + in_b).astype(x.dtype)
+        r = _merged_half_snake(r, [b.sk_alpha for b in blocks], C, leaky_slope)
+        r = jax.lax.conv_general_dilated(
+            r, sk_w, window_strides=(1,), padding=[(kmax - 1, 0)],
+            dimension_numbers=_DN, feature_group_count=B,
+            preferred_element_type=jnp.float32)
+        r = (r + sk_b).astype(x.dtype)
+        h = h + r
+
+    return jnp.mean(h.reshape(n, T, B, C).astype(jnp.float32), axis=2).astype(x.dtype)
 
 
 def codec_decode_latent(latent: jnp.ndarray, weights: CodecWeights,

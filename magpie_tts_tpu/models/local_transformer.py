@@ -68,28 +68,26 @@ def sample_frame_codes(
     seq_buf = jnp.zeros((_MAX_SEQ, config.lt_dim), dtype=decoder_hidden.dtype)
     seq_buf = seq_buf.at[0].set(proj0)
 
-    def body(cb, carry):
-        seq_buf, sampled, argmax, key = carry
+    # Statically unrolled over the 8 codebooks: all per-codebook weight indexing
+    # (out_proj heads, audio embedding tables) resolves to static slices, which
+    # measures meaningfully faster on TPU than a fori_loop with dynamic gathers.
+    sampled = []
+    argmaxed = []
+    for cb in range(n_cb):
         hidden = lt_hidden_for_position(seq_buf, lt, config, cb)
         logits = (hidden @ lt.out_proj_w[cb] + lt.out_proj_b[cb]).astype(jnp.float32)
         logits = sampling.mask_logits(logits, static_forbidden_mask, forbid_eos,
                                       config.audio_eos_id)
         key, subkey = jax.random.split(key)
         code, amax = sampling.sample_top_k(subkey, logits, temperature, top_k)
-        sampled = sampled.at[cb].set(code)
-        argmax = argmax.at[cb].set(amax)
+        sampled.append(code)
+        argmaxed.append(amax)
 
         # Embed the sampled code with THIS codebook's embedding table, re-project,
-        # and append (magpie.cpp:1274-1313). The write lands at cb+1; for cb==7 it
-        # goes to the unused slot 8 (buffer has margin for exactly this).
-        emb = weights.audio_emb[cb, code]
-        proj = (emb @ lt.in_proj_w + lt.in_proj_b).astype(seq_buf.dtype)
-        seq_buf = jax.lax.dynamic_update_slice(seq_buf, proj[None, :], (cb + 1, 0))
-        return seq_buf, sampled, argmax, key
+        # and append (magpie.cpp:1274-1313).
+        if cb < n_cb - 1:
+            emb = weights.audio_emb[cb, code]
+            proj = (emb @ lt.in_proj_w + lt.in_proj_b).astype(seq_buf.dtype)
+            seq_buf = seq_buf.at[cb + 1].set(proj)
 
-    init = (seq_buf,
-            jnp.zeros((n_cb,), jnp.int32),
-            jnp.zeros((n_cb,), jnp.int32),
-            key)
-    _, sampled, argmax, _ = jax.lax.fori_loop(0, n_cb, body, init)
-    return sampled, argmax
+    return jnp.stack(sampled), jnp.stack(argmaxed)

@@ -85,3 +85,40 @@ def test_codec_prefix_exactness(rng):
     padded = np.concatenate([codes, rng.integers(0, 32, size=(8, 4)).astype(np.int32)], axis=1)
     pad_out = np.asarray(jcodec.codec_decode(jnp.asarray(padded), weights, config))
     np.testing.assert_allclose(full, pad_out[: full.shape[0]], atol=1e-5)
+
+
+def test_merged_res_layer_matches_reference(rng):
+    """The grouped merged-branch res layer must equal the per-branch form."""
+    import jax.numpy as jnp
+    config = tiny_codec_config()
+    weights = random_codec_weights(config, seed=9)
+    stage = weights.stages[1]
+    C = config.up_channels[1]
+    x = jnp.asarray(rng.normal(0, 0.5, size=(1, 13, C)).astype(np.float32))
+    merged = np.asarray(jcodec.res_layer(x, stage.resblocks,
+                                         config.resblock_dilations,
+                                         config.leaky_slope))
+    ref = np.asarray(jcodec.res_layer_reference(x, stage.resblocks,
+                                                config.resblock_dilations,
+                                                config.leaky_slope))
+    np.testing.assert_allclose(merged, ref, atol=2e-5)
+
+
+def test_overlap_add_convt_matches_fallback(rng):
+    """Overlap-add path (K % stride == 0) vs the grouped-conv fallback."""
+    import jax
+    import jax.numpy as jnp
+    T, out_ch, K, stride = 6, 5, 8, 4
+    in_ch = 2 * out_ch
+    x = jnp.asarray(rng.normal(size=(1, T, in_ch)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(in_ch, K)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(out_ch,)).astype(np.float32))
+    fast = np.asarray(jcodec.grouped_conv_transpose1d(x, w, b, stride))
+    # force fallback path by calling with a K not divisible by stride via direct
+    # comparison against the torch oracle instead
+    import torch
+    from tests.oracle import ref_codec
+    ref = ref_codec.grouped_convt(
+        torch.from_numpy(np.transpose(np.asarray(x), (0, 2, 1)).copy()),
+        np.asarray(w), np.asarray(b), stride).numpy()
+    np.testing.assert_allclose(fast, np.transpose(ref, (0, 2, 1)), atol=1e-5)
