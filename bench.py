@@ -36,6 +36,13 @@ def main():
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    codec_pallas = os.environ.get("BENCH_CODEC_PALLAS")
+    codec_pallas = None if codec_pallas is None else codec_pallas == "1"
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_compilation")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     dev = jax.devices()[0]
     print(f"bench: device={dev.device_kind}, dtype={dtype_name}, "
@@ -49,7 +56,8 @@ def main():
     codec_weights = random_codec_weights(codec_config, seed=1)
 
     engine = MagpieEngine(weights, config, compute_dtype=dtype)
-    codec = CodecEngine(codec_weights, codec_config, compute_dtype=dtype)
+    codec = CodecEngine(codec_weights, codec_config, compute_dtype=dtype,
+                        use_pallas=codec_pallas)
 
     tokens = list(np.random.default_rng(0).integers(2, 90, size=30))
     tokens = [config.text_bos_id] + tokens + [config.text_eos_id]

@@ -21,6 +21,16 @@ from ..io.codec_weights import CodecWeights, ResBlockWeights, UpsampleStageWeigh
 _DN = ("NWC", "WIO", "NWC")
 
 
+def _use_pallas_default() -> bool:
+    """Fused Pallas conv kernels on TPU-like backends, XLA convs elsewhere."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def fsq_dequantize(codes: jnp.ndarray, config: CodecConfig) -> jnp.ndarray:
     """codes: [..., 8, T] int32 -> latent [..., T, 32] float32.
 
@@ -71,10 +81,12 @@ def grouped_conv_transpose1d(x: jnp.ndarray, w_pt: jnp.ndarray, b: jnp.ndarray,
         n, T, _ = x.shape
         m = k // stride
         xp = x.reshape(n, T, out_ch, 2)
-        wp = w_pt.reshape(out_ch, 2, k)
-        # z[n, t, k, g]: input frame t's length-K patch for output channel g
-        z = jnp.einsum("ntgj,gjk->ntkg", xp, wp,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        wp = jnp.transpose(w_pt.reshape(out_ch, 2, k), (1, 2, 0))  # [2, k, out]
+        # z[n, t, k, g]: input frame t's length-K patch for output channel g.
+        # Pure broadcast multiply-add on the VPU (the "contraction" is only the
+        # 2 input channels per group).
+        z = (xp[:, :, None, :, 0] * wp[0][None, None] +
+             xp[:, :, None, :, 1] * wp[1][None, None])  # [n, T, k, out]
         z = z.reshape(n, T, m, stride, out_ch)
         out = z[:, :, 0]
         for j in range(1, m):
@@ -111,26 +123,39 @@ def half_snake(x: jnp.ndarray, alpha: jnp.ndarray,
     return jnp.concatenate([snake, leaky], axis=-1)
 
 
+def _snake_conv(x, w, b, alpha, dilation, leaky_slope, use_pallas):
+    """(optional HalfSnake) -> causal conv, via the fused Pallas kernel on TPU
+    or XLA conv elsewhere. x: [N, T, C]."""
+    if use_pallas:
+        from ..ops.pallas_kernels.codec_conv import snake_causal_conv
+
+        return jax.vmap(lambda xx: snake_causal_conv(
+            xx, w, b, alpha, dilation=dilation, leaky_slope=leaky_slope))(x)
+    h = x if alpha is None else half_snake(x, alpha, leaky_slope)
+    return causal_conv1d(h, w, b, dilation)
+
+
 def residual_block(x: jnp.ndarray, blk: ResBlockWeights, dilation: int,
-                   leaky_slope: float) -> jnp.ndarray:
-    h = half_snake(x, blk.in_alpha, leaky_slope)
-    h = causal_conv1d(h, blk.in_conv_w, blk.in_conv_b, dilation)
-    h = half_snake(h, blk.sk_alpha, leaky_slope)
-    h = causal_conv1d(h, blk.sk_conv_w, blk.sk_conv_b, 1)
+                   leaky_slope: float, use_pallas: bool = False) -> jnp.ndarray:
+    h = _snake_conv(x, blk.in_conv_w, blk.in_conv_b, blk.in_alpha, dilation,
+                    leaky_slope, use_pallas)
+    h = _snake_conv(h, blk.sk_conv_w, blk.sk_conv_b, blk.sk_alpha, 1,
+                    leaky_slope, use_pallas)
     return x + h
 
 
-def res_layer_reference(x: jnp.ndarray, branches, dilations,
-                        leaky_slope: float) -> jnp.ndarray:
+def res_layer(x: jnp.ndarray, branches, dilations,
+              leaky_slope: float, use_pallas: bool = False) -> jnp.ndarray:
     """Mean of 3 parallel kernel branches, each 3 sequential dilated blocks.
 
-    Straightforward per-branch form (kept as the oracle for the merged version).
+    (A merged feature-group variant exists below but measured slower under
+    XLA's grouped-conv lowering.)
     """
     acc = None
     for branch in branches:
         h = x
         for blk, dilation in zip(branch, dilations):
-            h = residual_block(h, blk, dilation, leaky_slope)
+            h = residual_block(h, blk, dilation, leaky_slope, use_pallas)
         acc = h if acc is None else acc + h
     return acc / len(branches)
 
@@ -165,7 +190,7 @@ def _merged_conv_weight(ws, kmax: int) -> jnp.ndarray:
     return jnp.concatenate(padded, axis=2)
 
 
-def res_layer(x: jnp.ndarray, branches, dilations, leaky_slope: float) -> jnp.ndarray:
+def res_layer_merged(x: jnp.ndarray, branches, dilations, leaky_slope: float) -> jnp.ndarray:
     """Merged-branch res layer: the 3 kernel branches run as ONE chain of
     grouped convs over [N, T, 3C] (feature_group_count = 3).
 
@@ -207,21 +232,27 @@ def res_layer(x: jnp.ndarray, branches, dilations, leaky_slope: float) -> jnp.nd
 
 
 def codec_decode_latent(latent: jnp.ndarray, weights: CodecWeights,
-                        config: CodecConfig) -> jnp.ndarray:
+                        config: CodecConfig,
+                        use_pallas: bool = None) -> jnp.ndarray:
     """latent: [N, T, latent_dim] -> audio [N, T*1024]."""
-    x = causal_conv1d(latent, weights.pre_conv_w, weights.pre_conv_b)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    x = _snake_conv(latent, weights.pre_conv_w, weights.pre_conv_b, None, 1,
+                    config.leaky_slope, use_pallas)
     for stage, stride in zip(weights.stages, config.up_sample_rates):
         x = half_snake(x, stage.act_alpha, config.leaky_slope)
         x = grouped_conv_transpose1d(x, stage.convt_w, stage.convt_b, stride)
-        x = res_layer(x, stage.resblocks, config.resblock_dilations, config.leaky_slope)
-    x = half_snake(x, weights.post_alpha, config.leaky_slope)
-    x = causal_conv1d(x, weights.post_conv_w, weights.post_conv_b)
+        x = res_layer(x, stage.resblocks, config.resblock_dilations,
+                      config.leaky_slope, use_pallas)
+    x = _snake_conv(x, weights.post_conv_w, weights.post_conv_b,
+                    weights.post_alpha, 1, config.leaky_slope, use_pallas)
     x = jnp.tanh(x)
     return x[..., 0]
 
 
 def codec_decode(codes: jnp.ndarray, weights: CodecWeights,
-                 config: CodecConfig) -> jnp.ndarray:
+                 config: CodecConfig, use_pallas: bool = None) -> jnp.ndarray:
     """codes: [8, T] int32 -> waveform [T*1024] float32 (single utterance)."""
     latent = fsq_dequantize(codes, config).astype(weights.pre_conv_w.dtype)
-    return codec_decode_latent(latent[None], weights, config)[0]
+    return codec_decode_latent(latent[None], weights, config,
+                               use_pallas=use_pallas)[0]

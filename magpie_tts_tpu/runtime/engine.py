@@ -171,20 +171,23 @@ class CodecEngine:
 
     def __init__(self, weights: CodecWeights, config: CodecConfig,
                  compute_dtype=jnp.float32,
-                 frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS):
+                 frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+                 use_pallas: bool = None):
         self.config = config
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.weights = (weights if weights.pre_conv_b.dtype == self.compute_dtype
                         else weights.astype(self.compute_dtype))
         self.frame_buckets = tuple(frame_buckets)
+        self.use_pallas = use_pallas
         self._decode_cache: Dict[int, object] = {}
 
     def _decode_fn(self, bucket: int):
         fn = self._decode_cache.get(bucket)
         if fn is None:
             config = self.config
+            use_pallas = self.use_pallas
             fn = jax.jit(lambda weights, codes: codec_mod.codec_decode(
-                codes, weights, config))
+                codes, weights, config, use_pallas=use_pallas))
             self._decode_cache[bucket] = fn
         return fn
 

@@ -95,12 +95,12 @@ def test_merged_res_layer_matches_reference(rng):
     stage = weights.stages[1]
     C = config.up_channels[1]
     x = jnp.asarray(rng.normal(0, 0.5, size=(1, 13, C)).astype(np.float32))
-    merged = np.asarray(jcodec.res_layer(x, stage.resblocks,
-                                         config.resblock_dilations,
-                                         config.leaky_slope))
-    ref = np.asarray(jcodec.res_layer_reference(x, stage.resblocks,
+    merged = np.asarray(jcodec.res_layer_merged(x, stage.resblocks,
                                                 config.resblock_dilations,
                                                 config.leaky_slope))
+    ref = np.asarray(jcodec.res_layer(x, stage.resblocks,
+                                      config.resblock_dilations,
+                                      config.leaky_slope))
     np.testing.assert_allclose(merged, ref, atol=2e-5)
 
 
