@@ -25,6 +25,14 @@ from . import local_transformer as lt_mod
 from .encoder import run_encoder
 
 
+def use_pallas_default() -> bool:
+    """Fused Pallas kernels on TPU-like backends, plain XLA elsewhere."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def audio_frame_embedding(codes: jnp.ndarray, weights: MagpieWeights,
                           config: MagpieConfig) -> jnp.ndarray:
     """codes: [..., 8] -> [..., d_model]: mean of the 8 per-codebook embeddings.
@@ -93,7 +101,8 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
                 enc_length: jnp.ndarray, weights: MagpieWeights, config: MagpieConfig,
                 key: jax.Array, temperature: jnp.ndarray, top_k: int,
                 max_steps: Optional[int] = None,
-                target_frames: Optional[jnp.ndarray] = None) -> DecodeState:
+                target_frames: Optional[jnp.ndarray] = None,
+                use_pallas_lt: Optional[bool] = None) -> DecodeState:
     """Run the autoregressive loop fully on device.
 
     Per iteration (mirrors magpie.cpp:4321-4407): sample all 8 codes from the
@@ -105,6 +114,8 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     call can continue.
     """
     max_steps = max_steps or config.max_dec_steps
+    if use_pallas_lt is None:
+        use_pallas_lt = use_pallas_default()
     static_mask = sampling.forbidden_token_mask(
         config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)
     state = state._replace(key=key)
@@ -119,9 +130,16 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     def body(s: DecodeState) -> DecodeState:
         forbid_eos = s.frame_idx < config.min_generated_frames
         key, subkey = jax.random.split(s.key)
-        sampled, argmax = lt_mod.sample_frame_codes(
-            s.hidden, weights, config, subkey, temperature, top_k,
-            forbid_eos, static_mask)
+        if use_pallas_lt:
+            from ..ops.pallas_kernels.lt_sampler import sample_frame_codes_pallas
+
+            seed = jax.lax.bitcast_convert_type(subkey[0], jnp.int32)
+            sampled, argmax = sample_frame_codes_pallas(
+                s.hidden, weights, config, seed, temperature, top_k, forbid_eos)
+        else:
+            sampled, argmax = lt_mod.sample_frame_codes(
+                s.hidden, weights, config, subkey, temperature, top_k,
+                forbid_eos, static_mask)
 
         is_eos = sampling.frame_has_eos(sampled, argmax, config.audio_eos_id)
 
@@ -147,12 +165,14 @@ def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
                              speaker_id: jnp.ndarray, key: jax.Array,
                              temperature: jnp.ndarray, weights: MagpieWeights,
                              config: MagpieConfig, top_k: int,
-                             max_steps: Optional[int] = None):
+                             max_steps: Optional[int] = None,
+                             use_pallas_lt: Optional[bool] = None):
     """The full single-utterance synthesis program (jit target).
 
     Returns (codes [max_dec_steps, 8], n_frames scalar i32).
     """
     xa_k, xa_v, state = prepare(tokens, enc_length, speaker_id, weights, config)
     state = decode_loop(xa_k, xa_v, state, enc_length, weights, config,
-                        key, temperature, top_k, max_steps)
+                        key, temperature, top_k, max_steps,
+                        use_pallas_lt=use_pallas_lt)
     return state.codes, state.frame_idx

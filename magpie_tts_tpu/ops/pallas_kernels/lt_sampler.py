@@ -1,0 +1,235 @@
+"""Fused local-transformer frame sampler: one Pallas kernel per frame.
+
+Replaces ~200 XLA ops per generated frame (8 sequential codebook iterations of
+LT layer + head projection + top-k sampling + embedding feedback,
+models/local_transformer.py) with a single pallas_call:
+
+- grid = (8,) over codebooks; the per-codebook output head [256, 2024] streams
+  through VMEM via its BlockSpec (auto double-buffered);
+- the growing projected sequence lives in a VMEM scratch that persists across
+  grid steps;
+- sampling happens in-kernel: forbidden-token masking, argmax (EOS detection),
+  top-k threshold via two 128-bin histogram refinement passes, then Gumbel-max
+  over the top-k candidates at the given temperature (the same
+  top-k + temperature softmax categorical distribution as the reference,
+  magpie.cpp:1072-1109);
+- the sampled code's audio embedding row is fetched by dynamic async DMA and
+  re-projected for the next iteration.
+
+Greedy (temp < 0.01) matches models/local_transformer.py exactly; the sampled
+path draws from the same distribution with the on-chip PRNG (seeded from the
+caller, fully deterministic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SEQ = 16       # padded sequence buffer rows (9 used)
+_NEG = -1e30
+
+
+def _layer_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    return (c / jnp.sqrt(var + eps)) * w.astype(jnp.float32)
+
+
+def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
+            norm_self_ref, qkv_ref, sa_out_ref, norm_ff_ref, ff_proj_ref,
+            ff_out_ref, out_w_ref, out_b_ref, emb_hbm, temp_ref, flags_ref,
+            sampled_ref, argmax_ref,
+            seq_ref, emb_scratch, code_smem, amax_smem, dma_sem, *,
+            lt_dim: int, vocab: int, top_k: int,
+            audio_bos_id: int, audio_eos_id: int, eps: float,
+            gelu_tanh: bool, n_cb: int, use_prng: bool):
+    cb = pl.program_id(0)
+
+    in_w = in_proj_w_ref[...]
+    in_b = in_proj_b_ref[0, :].astype(jnp.float32)
+
+    @pl.when(cb == 0)
+    def _init():
+        seq_ref[...] = jnp.zeros_like(seq_ref)
+        proj = jnp.dot(hidden_ref[...], in_w,
+                       preferred_element_type=jnp.float32) + in_b
+        seq_ref[0:1, :] = proj.astype(seq_ref.dtype)
+
+    # --- LT layer over the padded buffer; the causal mask makes rows > cb inert.
+    n = _SEQ
+    x = seq_ref[...].astype(jnp.float32) + pos_emb_ref[...].astype(jnp.float32)
+    h = _layer_norm(x, norm_self_ref[0, :], eps).astype(seq_ref.dtype)
+    qkv = jnp.dot(h, qkv_ref[...], preferred_element_type=jnp.float32)
+    q = qkv[:, :lt_dim].astype(seq_ref.dtype)
+    k = qkv[:, lt_dim:2 * lt_dim].astype(seq_ref.dtype)
+    v = qkv[:, 2 * lt_dim:].astype(seq_ref.dtype)
+    scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))  # single head, d_head = lt_dim
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    scores = jnp.where(cols <= rows, scores, _NEG)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(seq_ref.dtype)
+    attn = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    x = x + jnp.dot(attn.astype(seq_ref.dtype), sa_out_ref[...],
+                    preferred_element_type=jnp.float32)
+    h2 = _layer_norm(x, norm_ff_ref[0, :], eps).astype(seq_ref.dtype)
+    ff = jnp.dot(h2, ff_proj_ref[...], preferred_element_type=jnp.float32)
+    ff = jax.nn.gelu(ff, approximate=gelu_tanh).astype(seq_ref.dtype)
+    x = x + jnp.dot(ff, ff_out_ref[...], preferred_element_type=jnp.float32)
+
+    # row cb -> logits for this codebook
+    row_mask = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == cb
+    hid = jnp.sum(jnp.where(row_mask, x, 0.0), axis=0, keepdims=True)  # [1, D]
+    logits = jnp.dot(hid.astype(seq_ref.dtype), out_w_ref[0],
+                     preferred_element_type=jnp.float32)[0]
+    logits = logits + out_b_ref[0].astype(jnp.float32)  # [vocab]
+
+    # --- forbidden-token masking (magpie.cpp:1131-1248)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)[0]
+    forbidden = (ids == audio_bos_id) | \
+                ((ids >= audio_bos_id + 2) & (ids <= audio_bos_id + 7))
+    forbid_eos = flags_ref[0] > 0
+    forbidden = forbidden | (forbid_eos & (ids == audio_eos_id))
+    logits = jnp.where(forbidden, _NEG, logits)
+
+    amax = jnp.argmax(logits).astype(jnp.int32)
+
+    # --- top-k threshold via two 128-bin histogram refinement passes
+    temp = temp_ref[0]
+    valid = jnp.where(forbidden, jnp.float32(3.4e38), logits)
+    lo0 = jnp.min(valid)
+    hi0 = jnp.max(logits)
+
+    def refine(lo, hi):
+        span = jnp.maximum(hi - lo, 1e-20)
+        steps = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
+        edges = lo + span * (steps.astype(jnp.float32) / 128.0)
+        counts = jnp.sum((logits[:, None] >= edges[None, :]).astype(jnp.int32),
+                         axis=0)  # decreasing in edge index
+        sel = jnp.sum((counts >= top_k).astype(jnp.int32)) - 1
+        sel = jnp.clip(sel, 0, 127).astype(jnp.float32)
+        return lo + span * (sel / 128.0), jnp.minimum(lo + span * ((sel + 1) / 128.0), hi)
+
+    lo1, hi1 = refine(lo0, hi0)
+    tau, _ = refine(lo1, hi1)
+    in_topk = logits >= tau
+
+    # --- Gumbel-max over the top-k candidates at temperature
+    if use_prng:
+        pltpu.prng_seed(flags_ref[1] * jnp.int32(n_cb) + cb)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)), jnp.uint32)[0]
+        u = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+        u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
+        gumbel = -jnp.log(-jnp.log(u))
+    else:  # interpret mode: PRNG unavailable; sampled == argmax there
+        gumbel = jnp.zeros((vocab,), jnp.float32)
+    safe_temp = jnp.maximum(temp, 0.01)
+    z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
+    drawn = jnp.argmax(z).astype(jnp.int32)
+
+    greedy = temp < 0.01
+    code = jnp.where(greedy, amax, drawn)
+
+    code_smem[cb] = code
+    amax_smem[cb] = amax
+
+    @pl.when(cb == n_cb - 1)
+    def _emit():
+        sampled_ref[0, :] = jnp.stack([code_smem[i] for i in range(n_cb)])
+        argmax_ref[0, :] = jnp.stack([amax_smem[i] for i in range(n_cb)])
+
+    # --- feedback: embed sampled code with THIS codebook's table, re-project
+    @pl.when(cb < n_cb - 1)
+    def _feedback():
+        copy = pltpu.make_async_copy(
+            emb_hbm.at[cb, pl.ds(code_smem[cb], 1), :], emb_scratch, dma_sem)
+        copy.start()
+        copy.wait()
+        proj = jnp.dot(emb_scratch[...].astype(in_w.dtype), in_w,
+                       preferred_element_type=jnp.float32) + in_b
+        seq_ref[pl.ds(cb + 1, 1), :] = proj.astype(seq_ref.dtype)
+
+
+def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
+                              seed: jnp.ndarray, temperature: jnp.ndarray,
+                              top_k: int, forbid_eos: jnp.ndarray,
+                              gelu_tanh: bool = False,
+                              interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """hidden: [d_model] -> (sampled [8], argmax [8]) int32.
+
+    ``seed``: int32 scalar; fold the frame index in before calling.
+    """
+    lt = weights.lt
+    c = config
+    dtype = hidden.dtype
+    top_k = min(top_k, c.vocab_per_cb)
+
+    temp_arr = temperature.astype(jnp.float32).reshape(1)
+    flags = jnp.stack([forbid_eos.astype(jnp.int32),
+                       seed.astype(jnp.int32)])
+
+    pos_emb = jnp.zeros((_SEQ, c.lt_dim), dtype).at[: c.lt_max_pos].set(
+        lt.pos_emb.astype(dtype)[:_SEQ])
+
+    kernel = functools.partial(
+        _kernel, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
+        top_k=top_k, audio_bos_id=c.audio_bos_id, audio_eos_id=c.audio_eos_id,
+        eps=c.eps, gelu_tanh=gelu_tanh, n_cb=c.num_codebooks,
+        use_prng=not interpret)
+
+    n_cb = c.num_codebooks
+
+    def vm(*blk):
+        return pl.BlockSpec(blk, lambda cb: tuple(0 for _ in blk))
+
+    sampled, argmax = pl.pallas_call(
+        kernel,
+        grid=(n_cb,),
+        out_shape=(jax.ShapeDtypeStruct((1, n_cb), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n_cb), jnp.int32)),
+        in_specs=[
+            vm(1, c.d_model),                 # hidden
+            vm(c.d_model, c.lt_dim),          # in_proj_w
+            vm(1, c.lt_dim),                  # in_proj_b
+            vm(_SEQ, c.lt_dim),               # pos_emb (padded)
+            vm(1, c.lt_dim),                  # norm_self
+            vm(c.lt_dim, 3 * c.lt_dim),       # qkv
+            vm(c.lt_dim, c.lt_dim),           # sa_out
+            vm(1, c.lt_dim),                  # norm_ff
+            vm(c.lt_dim, c.lt_ffn_dim),       # ff_proj
+            vm(c.lt_ffn_dim, c.lt_dim),       # ff_out
+            pl.BlockSpec((1, c.lt_dim, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
+            pl.BlockSpec((1, c.vocab_per_cb), lambda cb: (cb, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),      # audio_emb (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # flags [forbid_eos, seed]
+        ],
+        out_specs=(pl.BlockSpec((1, n_cb), lambda cb: (0, 0)),
+                   pl.BlockSpec((1, n_cb), lambda cb: (0, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((_SEQ, c.lt_dim), dtype),       # seq buffer
+            pltpu.VMEM((1, c.d_model), dtype),         # fetched embedding row
+            pltpu.SMEM((n_cb,), jnp.int32),            # sampled codes
+            pltpu.SMEM((n_cb,), jnp.int32),            # argmax codes
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(hidden.reshape(1, -1), lt.in_proj_w.astype(dtype),
+      lt.in_proj_b.astype(dtype).reshape(1, -1), pos_emb,
+      lt.norm_self.astype(dtype).reshape(1, -1), lt.qkv.astype(dtype),
+      lt.sa_out.astype(dtype), lt.norm_ff.astype(dtype).reshape(1, -1),
+      lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),
+      lt.out_proj_w.astype(dtype), lt.out_proj_b.astype(jnp.float32),
+      weights.audio_emb.astype(dtype), temp_arr, flags)
+
+    return sampled[0], argmax[0]
