@@ -92,7 +92,7 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
     hid = jnp.sum(jnp.where(row_mask, x, 0.0), axis=0, keepdims=True)  # [1, D]
     logits = jnp.dot(hid.astype(seq_ref.dtype), out_w_ref[0],
                      preferred_element_type=jnp.float32)[0]
-    logits = logits + out_b_ref[0].astype(jnp.float32)  # [vocab]
+    logits = logits + out_b_ref[0, 0].astype(jnp.float32)  # [vocab]
 
     # --- forbidden-token masking (magpie.cpp:1131-1248)
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)[0]
@@ -209,7 +209,7 @@ def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
             vm(c.lt_dim, c.lt_ffn_dim),       # ff_proj
             vm(c.lt_ffn_dim, c.lt_dim),       # ff_out
             pl.BlockSpec((1, c.lt_dim, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
-            pl.BlockSpec((1, c.vocab_per_cb), lambda cb: (cb, 0)),
+            pl.BlockSpec((1, 1, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),      # audio_emb (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),     # temperature
             pl.BlockSpec(memory_space=pltpu.SMEM),     # flags [forbid_eos, seed]
@@ -229,7 +229,8 @@ def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
       lt.norm_self.astype(dtype).reshape(1, -1), lt.qkv.astype(dtype),
       lt.sa_out.astype(dtype), lt.norm_ff.astype(dtype).reshape(1, -1),
       lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),
-      lt.out_proj_w.astype(dtype), lt.out_proj_b.astype(jnp.float32),
+      lt.out_proj_w.astype(dtype),
+      lt.out_proj_b.astype(jnp.float32).reshape(-1, 1, lt.out_proj_b.shape[-1]),
       weights.audio_emb.astype(dtype), temp_arr, flags)
 
     return sampled[0], argmax[0]
