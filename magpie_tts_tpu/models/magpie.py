@@ -102,7 +102,8 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
                 key: jax.Array, temperature: jnp.ndarray, top_k: int,
                 max_steps: Optional[int] = None,
                 target_frames: Optional[jnp.ndarray] = None,
-                use_pallas_lt: Optional[bool] = None) -> DecodeState:
+                use_pallas_lt: Optional[bool] = None,
+                use_pallas_decoder: Optional[bool] = None) -> DecodeState:
     """Run the autoregressive loop fully on device.
 
     Per iteration (mirrors magpie.cpp:4321-4407): sample all 8 codes from the
@@ -116,6 +117,8 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     max_steps = max_steps or config.max_dec_steps
     if use_pallas_lt is None:
         use_pallas_lt = use_pallas_default()
+    if use_pallas_decoder is None:
+        use_pallas_decoder = use_pallas_default()
     static_mask = sampling.forbidden_token_mask(
         config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)
     state = state._replace(key=key)
@@ -149,9 +152,16 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
         frame_idx = jnp.where(is_eos, s.frame_idx, s.frame_idx + 1)
 
         emb = audio_frame_embedding(sampled, weights, config).astype(dtype)
-        hidden, k_cache, v_cache = decoder_mod.decode_step(
-            emb, s.pos, xa_k, xa_v, s.k_cache, s.v_cache, weights, config,
-            enc_length=enc_length)
+        if use_pallas_decoder:
+            from ..ops.pallas_kernels.decoder_step import decode_step_pallas
+
+            hidden, k_cache, v_cache = decode_step_pallas(
+                emb, s.pos, xa_k, xa_v, s.k_cache, s.v_cache, weights, config,
+                enc_length=enc_length)
+        else:
+            hidden, k_cache, v_cache = decoder_mod.decode_step(
+                emb, s.pos, xa_k, xa_v, s.k_cache, s.v_cache, weights, config,
+                enc_length=enc_length)
 
         return DecodeState(
             k_cache=k_cache, v_cache=v_cache, hidden=hidden,
@@ -166,7 +176,8 @@ def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
                              temperature: jnp.ndarray, weights: MagpieWeights,
                              config: MagpieConfig, top_k: int,
                              max_steps: Optional[int] = None,
-                             use_pallas_lt: Optional[bool] = None):
+                             use_pallas_lt: Optional[bool] = None,
+                             use_pallas_decoder: Optional[bool] = None):
     """The full single-utterance synthesis program (jit target).
 
     Returns (codes [max_dec_steps, 8], n_frames scalar i32).
@@ -174,5 +185,6 @@ def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
     xa_k, xa_v, state = prepare(tokens, enc_length, speaker_id, weights, config)
     state = decode_loop(xa_k, xa_v, state, enc_length, weights, config,
                         key, temperature, top_k, max_steps,
-                        use_pallas_lt=use_pallas_lt)
+                        use_pallas_lt=use_pallas_lt,
+                        use_pallas_decoder=use_pallas_decoder)
     return state.codes, state.frame_idx

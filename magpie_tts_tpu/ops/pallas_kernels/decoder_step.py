@@ -1,0 +1,232 @@
+"""Fused autoregressive decoder step: all 12 layers in one Pallas kernel.
+
+The per-frame decoder step is op-count-bound under XLA (~180 small ops: 12
+layers x (norms, QKV, cache update, attention, XA, FFN)). This kernel runs the
+whole step as grid=(12,) with the large weight matrices streamed HBM->VMEM by
+manual async DMA, overlapped with compute (the next layer's QKV weights prefetch
+during this layer's FFN). The KV cache stays in HBM (aliased in/out); each step
+reads the layer's cache block once for attention and DMA-writes only the new
+row — the functional analog of the reference's flat-cache `ggml_cpy` pattern
+(magpie.cpp:3393-3480) at memory-bound speed.
+
+Attention avoids head-reshapes entirely: with a constant segment matrix
+SEG[d, h] = 1{d // d_head == h}, per-head scores are (K * q) @ SEG and the
+context sum is ones @ ((probs @ SEG^T) * V) — everything stays on the MXU in
+[seq, d_model] layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _ln(x, w, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    return (c / jnp.sqrt(var + eps)) * w.astype(jnp.float32)
+
+
+def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
+            xa_k_ref, xa_v_ref, scal_ref,
+            qkv_hbm, sao_hbm, ffp_hbm, ffo_hbm, kc_hbm, vc_hbm,
+            hidden_ref, kc_out, vc_out,
+            x_ref, qkv_buf, sao_buf, ffp_buf, ffo_buf, kbuf, vbuf, sems, *,
+            n_layers: int, d_model: int, n_heads: int, d_xa: int,
+            max_seq: int, enc_pad: int, eps: float, gelu_tanh: bool,
+            gelu_fn):
+    l = pl.program_id(0)
+    pos = scal_ref[0]
+    enc_len = scal_ref[1]
+    d_head = d_model // n_heads
+    wdt = qkv_buf.dtype
+
+    def dma(src, dst, sem_idx):
+        return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
+
+    # Prologue: layer 0's QKV weights + seed x from the input.
+    @pl.when(l == 0)
+    def _prologue():
+        x_ref[...] = x_in_ref[...].astype(jnp.float32)
+        dma(qkv_hbm.at[0], qkv_buf, 0).start()
+
+    # Cache blocks for this layer.
+    dma(kc_hbm.at[l], kbuf, 1).start()
+    dma(vc_hbm.at[l], vbuf, 2).start()
+
+    x = x_ref[...]  # (1, d_model) f32
+
+    # ---- self-attention ----
+    h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
+    dma(qkv_hbm.at[l], qkv_buf, 0).wait()
+    qkv = jnp.dot(h, qkv_buf[...], preferred_element_type=jnp.float32)  # (1, 3d)
+    dma(sao_hbm.at[l], sao_buf, 3).start()
+    q = qkv[:, :d_model]
+    k_new = qkv[:, d_model:2 * d_model].astype(kbuf.dtype)
+    v_new = qkv[:, 2 * d_model:].astype(vbuf.dtype)
+
+    dma(kc_hbm.at[l], kbuf, 1).wait()
+    dma(vc_hbm.at[l], vbuf, 2).wait()
+    kbuf[pl.ds(pos, 1), :] = k_new
+    vbuf[pl.ds(pos, 1), :] = v_new
+    # Write only the new row back to HBM (aliased output = same buffer).
+    dma(kbuf.at[pl.ds(pos, 1)], kc_out.at[l, pl.ds(pos, 1)], 4).start()
+    dma(vbuf.at[pl.ds(pos, 1)], vc_out.at[l, pl.ds(pos, 1)], 5).start()
+
+    # per-head scores via the segment matrix (no head reshapes)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
+    seg = (lane // d_head == head).astype(wdt)            # [d, H]
+    z = (kbuf[...].astype(jnp.float32) * q).astype(wdt)   # [S, d]
+    scores = jnp.dot(z, seg, preferred_element_type=jnp.float32)  # [S, H]
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(d_head)))
+    row = jax.lax.broadcasted_iota(jnp.int32, (max_seq, n_heads), 0)
+    scores = jnp.where(row <= pos, scores, _NEG)
+    m = jnp.max(scores, axis=0, keepdims=True)
+    p = jnp.exp(scores - m)
+    probs = p / jnp.sum(p, axis=0, keepdims=True)          # [S, H]
+    probs_exp = jnp.dot(probs.astype(wdt), seg.T,
+                        preferred_element_type=jnp.float32)  # [S, d]
+    weighted = (probs_exp * vbuf[...].astype(jnp.float32)).astype(wdt)
+    ones_row = jnp.ones((1, max_seq), wdt)
+    attn = jnp.dot(ones_row, weighted, preferred_element_type=jnp.float32)  # [1, d]
+
+    dma(sao_hbm.at[l], sao_buf, 3).wait()
+    x = x + jnp.dot(attn.astype(wdt), sao_buf[...],
+                    preferred_element_type=jnp.float32)
+    dma(ffp_hbm.at[l], ffp_buf, 6).start()
+
+    # ---- cross-attention (1 head, precomputed K/V) ----
+    hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
+    q2 = jnp.dot(hq, xa_q_ref[0], preferred_element_type=jnp.float32)  # (1, d_xa)
+    zx = (xa_k_ref[0].astype(jnp.float32) * q2).astype(wdt)            # (E, d_xa)
+    ones_col = jnp.ones((d_xa, 1), wdt)
+    sx = jnp.dot(zx, ones_col, preferred_element_type=jnp.float32)     # (E, 1)
+    sx = sx * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
+    erow = jax.lax.broadcasted_iota(jnp.int32, (enc_pad, 1), 0)
+    sx = jnp.where(erow < enc_len, sx, _NEG)
+    mx = jnp.max(sx, axis=0, keepdims=True)
+    px = jnp.exp(sx - mx)
+    px = px / jnp.sum(px, axis=0, keepdims=True)                       # (E, 1)
+    wv = (px * xa_v_ref[0].astype(jnp.float32)).astype(wdt)            # (E, d_xa)
+    ones_e = jnp.ones((1, enc_pad), wdt)
+    xa = jnp.dot(ones_e, wv, preferred_element_type=jnp.float32)       # (1, d_xa)
+    x = x + jnp.dot(xa.astype(wdt), xa_out_ref[0],
+                    preferred_element_type=jnp.float32)
+
+    # ---- FFN (pointwise) ----
+    hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
+    dma(ffp_hbm.at[l], ffp_buf, 6).wait()
+    f = jnp.dot(hf, ffp_buf[...], preferred_element_type=jnp.float32)
+    dma(ffo_hbm.at[l], ffo_buf, 7).start()
+
+    @pl.when(l < n_layers - 1)
+    def _prefetch_next():
+        dma(qkv_hbm.at[l + 1], qkv_buf, 0).start()
+
+    f = gelu_fn(f).astype(wdt)
+    dma(ffo_hbm.at[l], ffo_buf, 7).wait()
+    x = x + jnp.dot(f, ffo_buf[...], preferred_element_type=jnp.float32)
+
+    x_ref[...] = x
+
+    dma(kbuf.at[pl.ds(pos, 1)], kc_out.at[l, pl.ds(pos, 1)], 4).wait()
+    dma(vbuf.at[pl.ds(pos, 1)], vc_out.at[l, pl.ds(pos, 1)], 5).wait()
+
+    @pl.when(l == n_layers - 1)
+    def _emit():
+        hidden_ref[...] = _ln(x, final_norm_ref[0], eps).astype(hidden_ref.dtype)
+
+
+def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
+                       xa_k: jnp.ndarray, xa_v: jnp.ndarray,
+                       k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                       weights, config,
+                       enc_length: Optional[jnp.ndarray] = None,
+                       interpret: bool = False):
+    """Drop-in replacement for models.decoder.decode_step on TPU.
+
+    x: [d_model] frame embedding (position embedding added here);
+    caches: [L, max_seq, d_model] (aliased/donated). Returns
+    (hidden [d_model], k_cache, v_cache).
+    """
+    dec = weights.decoder
+    c = config
+    dtype = weights.text_emb.dtype
+    L, S, D = k_cache.shape
+    E = xa_k.shape[1]
+    if enc_length is None:
+        enc_length = jnp.int32(E)
+
+    x_in = (x + dec.pos_emb[pos]).astype(dtype).reshape(1, D)
+    norms = jnp.stack([dec.norm_self, dec.norm_xa_q, dec.norm_ff],
+                      axis=1).astype(jnp.float32)          # [L, 3, D]
+    scal = jnp.stack([pos.astype(jnp.int32), enc_length.astype(jnp.int32)])
+
+    def gelu_fn(v):
+        return jax.nn.gelu(v, approximate=False)
+
+    kernel = functools.partial(
+        _kernel, n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
+        d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps, gelu_tanh=False,
+        gelu_fn=gelu_fn)
+
+    grid = (c.dec_layers,)
+    vmem_block = lambda *blk, im=None: pl.BlockSpec(
+        blk, im or (lambda l: tuple(0 for _ in blk)))
+
+    hidden, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((1, D), dtype),
+                   jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)),
+        in_specs=[
+            vmem_block(1, D),                                   # x_in
+            pl.BlockSpec((1, 3, D), lambda l: (l, 0, 0)),       # norms
+            vmem_block(1, D),                                   # final norm
+            pl.BlockSpec((1, D, c.d_xa), lambda l: (l, 0, 0)),  # xa_q
+            pl.BlockSpec((1, c.d_xa, D), lambda l: (l, 0, 0)),  # xa_out
+            pl.BlockSpec((1, E, c.d_xa), lambda l: (l, 0, 0)),  # xa_k
+            pl.BlockSpec((1, E, c.d_xa), lambda l: (l, 0, 0)),  # xa_v
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars
+            pl.BlockSpec(memory_space=pltpu.ANY),               # qkv_hbm
+            pl.BlockSpec(memory_space=pltpu.ANY),               # sao_hbm
+            pl.BlockSpec(memory_space=pltpu.ANY),               # ffp_hbm
+            pl.BlockSpec(memory_space=pltpu.ANY),               # ffo_hbm
+            pl.BlockSpec(memory_space=pltpu.ANY),               # k cache in
+            pl.BlockSpec(memory_space=pltpu.ANY),               # v cache in
+        ],
+        out_specs=(vmem_block(1, D),
+                   pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        input_output_aliases={12: 1, 13: 2},  # caches update in place
+        scratch_shapes=[
+            pltpu.VMEM((1, D), jnp.float32),          # x carry
+            pltpu.VMEM((D, 3 * D), dtype),            # qkv weights
+            pltpu.VMEM((D, D), dtype),                # sa_out
+            pltpu.VMEM((D, c.d_ffn), dtype),          # ff_proj
+            pltpu.VMEM((c.d_ffn, D), dtype),          # ff_out
+            pltpu.VMEM((S, D), k_cache.dtype),        # k block
+            pltpu.VMEM((S, D), v_cache.dtype),        # v block
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x_in, norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
+      dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
+      xa_k.astype(dtype), xa_v.astype(dtype), scal,
+      dec.qkv.astype(dtype), dec.sa_out.astype(dtype),
+      dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype),
+      k_cache, v_cache)
+
+    return hidden[0], k_out, v_out

@@ -56,6 +56,7 @@ class MagpieEngine:
         compute_dtype=jnp.float32,
         token_buckets: Sequence[int] = DEFAULT_TOKEN_BUCKETS,
         use_pallas_lt: bool = None,
+        use_pallas_decoder: bool = None,
     ):
         self.config = config
         self.compute_dtype = jnp.dtype(compute_dtype)
@@ -63,6 +64,7 @@ class MagpieEngine:
                         else weights.astype(self.compute_dtype))
         self.token_buckets = tuple(token_buckets)
         self.use_pallas_lt = use_pallas_lt
+        self.use_pallas_decoder = use_pallas_decoder
         self._synth_cache: Dict[Tuple[int, int], object] = {}
         self._chunk_cache: Dict[Tuple[int, int], object] = {}
 
@@ -77,12 +79,14 @@ class MagpieEngine:
             # Weights are a jit argument (not a closure) so they are NOT inlined
             # as constants into the compiled program.
             use_pallas_lt = self.use_pallas_lt
+            use_pallas_decoder = self.use_pallas_decoder
 
             def program(weights, tokens, enc_length, speaker_id, rng_key,
                         temperature):
                 return magpie_mod.synthesize_codes_program(
                     tokens, enc_length, speaker_id, rng_key, temperature,
-                    weights, config, top_k=top_k, use_pallas_lt=use_pallas_lt)
+                    weights, config, top_k=top_k, use_pallas_lt=use_pallas_lt,
+                    use_pallas_decoder=use_pallas_decoder)
 
             fn = jax.jit(program)
             self._synth_cache[key] = fn
@@ -109,13 +113,15 @@ class MagpieEngine:
             config = self.config
 
             use_pallas_lt = self.use_pallas_lt
+            use_pallas_decoder = self.use_pallas_decoder
 
             def program(weights, xa_k, xa_v, state, enc_length, rng_key,
                         temperature, target_frames):
                 return magpie_mod.decode_loop(
                     xa_k, xa_v, state, enc_length, weights, config,
                     rng_key, temperature, top_k, target_frames=target_frames,
-                    use_pallas_lt=use_pallas_lt)
+                    use_pallas_lt=use_pallas_lt,
+                    use_pallas_decoder=use_pallas_decoder)
 
             fn = jax.jit(program, donate_argnums=(3,))
             self._chunk_cache[key] = fn
