@@ -35,9 +35,11 @@ def batched_synthesize_program(tokens: jnp.ndarray, enc_lengths: jnp.ndarray,
     freezes frame_idx/codes) while the rest continue.
     """
     def one(tokens, enc_length, speaker_id, key):
+        # Pallas step kernels are validated single-stream; under vmap the
+        # batched XLA path is used (its matmuls batch efficiently anyway).
         return magpie_mod.synthesize_codes_program(
             tokens, enc_length, speaker_id, key, temperature, weights, config,
-            top_k=top_k)
+            top_k=top_k, use_pallas_lt=False, use_pallas_decoder=False)
 
     return jax.vmap(one)(tokens, enc_lengths, speaker_ids, keys)
 
