@@ -78,9 +78,12 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     dma(vc_hbm.at[l], vbuf, 2).wait()
     kbuf[pl.ds(pos, 1), :] = k_new
     vbuf[pl.ds(pos, 1), :] = v_new
-    # Write only the new row back to HBM (aliased output = same buffer).
-    dma(kbuf.at[pl.ds(pos, 1)], kc_out.at[l, pl.ds(pos, 1)], 4).start()
-    dma(vbuf.at[pl.ds(pos, 1)], vc_out.at[l, pl.ds(pos, 1)], 5).start()
+    # Write back the aligned 8-row window containing the new row (HBM slices
+    # along the sublane dim must be 8-aligned; the window is already current
+    # in VMEM so the extra rows are no-op rewrites).
+    base = (pos // 8) * 8
+    dma(kbuf.at[pl.ds(base, 8)], kc_out.at[l, pl.ds(base, 8)], 4).start()
+    dma(vbuf.at[pl.ds(base, 8)], vc_out.at[l, pl.ds(base, 8)], 5).start()
 
     # per-head scores via the segment matrix (no head reshapes)
     lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
@@ -139,8 +142,8 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     x_ref[...] = x
 
-    dma(kbuf.at[pl.ds(pos, 1)], kc_out.at[l, pl.ds(pos, 1)], 4).wait()
-    dma(vbuf.at[pl.ds(pos, 1)], vc_out.at[l, pl.ds(pos, 1)], 5).wait()
+    dma(kbuf.at[pl.ds(base, 8)], kc_out.at[l, pl.ds(base, 8)], 4).wait()
+    dma(vbuf.at[pl.ds(base, 8)], vc_out.at[l, pl.ds(base, 8)], 5).wait()
 
     @pl.when(l == n_layers - 1)
     def _emit():
@@ -172,8 +175,10 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
                       axis=1).astype(jnp.float32)          # [L, 3, D]
     scal = jnp.stack([pos.astype(jnp.int32), enc_length.astype(jnp.int32)])
 
+    from .common import gelu_kernel
+
     def gelu_fn(v):
-        return jax.nn.gelu(v, approximate=False)
+        return gelu_kernel(v, approximate=False)
 
     kernel = functools.partial(
         _kernel, n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
@@ -199,16 +204,16 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
             pl.BlockSpec((1, E, c.d_xa), lambda l: (l, 0, 0)),  # xa_k
             pl.BlockSpec((1, E, c.d_xa), lambda l: (l, 0, 0)),  # xa_v
             pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars
-            pl.BlockSpec(memory_space=pltpu.ANY),               # qkv_hbm
-            pl.BlockSpec(memory_space=pltpu.ANY),               # sao_hbm
-            pl.BlockSpec(memory_space=pltpu.ANY),               # ffp_hbm
-            pl.BlockSpec(memory_space=pltpu.ANY),               # ffo_hbm
-            pl.BlockSpec(memory_space=pltpu.ANY),               # k cache in
-            pl.BlockSpec(memory_space=pltpu.ANY),               # v cache in
+            pl.BlockSpec(memory_space=pltpu.HBM),               # qkv_hbm
+            pl.BlockSpec(memory_space=pltpu.HBM),               # sao_hbm
+            pl.BlockSpec(memory_space=pltpu.HBM),               # ffp_hbm
+            pl.BlockSpec(memory_space=pltpu.HBM),               # ffo_hbm
+            pl.BlockSpec(memory_space=pltpu.HBM),               # k cache in
+            pl.BlockSpec(memory_space=pltpu.HBM),               # v cache in
         ],
         out_specs=(vmem_block(1, D),
-                   pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+                   pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
         input_output_aliases={12: 1, 13: 2},  # caches update in place
         scratch_shapes=[
             pltpu.VMEM((1, D), jnp.float32),          # x carry
@@ -221,7 +226,11 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
             pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # f32 weight-streaming scratch (qkv + 2 ffn + sa_out + cache blocks)
+            # is ~30MB — beyond the default 16MB scoped-vmem limit.
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x_in, norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
       dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
       xa_k.astype(dtype), xa_v.astype(dtype), scal,

@@ -84,7 +84,9 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
                     preferred_element_type=jnp.float32)
     h2 = _layer_norm(x, norm_ff_ref[0, :], eps).astype(seq_ref.dtype)
     ff = jnp.dot(h2, ff_proj_ref[...], preferred_element_type=jnp.float32)
-    ff = jax.nn.gelu(ff, approximate=gelu_tanh).astype(seq_ref.dtype)
+    from .common import gelu_kernel
+
+    ff = gelu_kernel(ff, approximate=gelu_tanh).astype(seq_ref.dtype)
     x = x + jnp.dot(ff, ff_out_ref[...], preferred_element_type=jnp.float32)
 
     # row cb -> logits for this codebook
@@ -127,8 +129,11 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
     # --- Gumbel-max over the top-k candidates at temperature
     if use_prng:
         pltpu.prng_seed(flags_ref[1] * jnp.int32(n_cb) + cb)
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)), jnp.uint32)[0]
-        u = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+        # Mosaic can't cast uint32->f32; keep bits as int32 and logical-shift
+        # down to 24 bits (non-negative), which casts fine.
+        bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)), jnp.int32)[0]
+        u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
+            1.0 / (1 << 24))
         u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
         gumbel = -jnp.log(-jnp.log(u))
     else:  # interpret mode: PRNG unavailable; sampled == argmax there
@@ -151,11 +156,19 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
     # --- feedback: embed sampled code with THIS codebook's table, re-project
     @pl.when(cb < n_cb - 1)
     def _feedback():
+        # HBM slices along the sublane dim must be 8-aligned: fetch the aligned
+        # 8-row window containing the code, then mask-select the row in VMEM.
+        code = code_smem[cb]
+        base = (code // 8) * 8
         copy = pltpu.make_async_copy(
-            emb_hbm.at[cb, pl.ds(code_smem[cb], 1), :], emb_scratch, dma_sem)
+            emb_hbm.at[cb, pl.ds(base, 8), :], emb_scratch, dma_sem)
         copy.start()
         copy.wait()
-        proj = jnp.dot(emb_scratch[...].astype(in_w.dtype), in_w,
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        emb = jnp.sum(jnp.where(rows == code - base,
+                                emb_scratch[...].astype(jnp.float32), 0.0),
+                      axis=0, keepdims=True)
+        proj = jnp.dot(emb.astype(in_w.dtype), in_w,
                        preferred_element_type=jnp.float32) + in_b
         seq_ref[pl.ds(cb + 1, 1), :] = proj.astype(seq_ref.dtype)
 
@@ -210,7 +223,7 @@ def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
             vm(c.lt_ffn_dim, c.lt_dim),       # ff_out
             pl.BlockSpec((1, c.lt_dim, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
             pl.BlockSpec((1, 1, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # audio_emb (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),      # audio_emb
             pl.BlockSpec(memory_space=pltpu.SMEM),     # temperature
             pl.BlockSpec(memory_space=pltpu.SMEM),     # flags [forbid_eos, seed]
         ],
@@ -218,7 +231,7 @@ def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
                    pl.BlockSpec((1, n_cb), lambda cb: (0, 0))),
         scratch_shapes=[
             pltpu.VMEM((_SEQ, c.lt_dim), dtype),       # seq buffer
-            pltpu.VMEM((1, c.d_model), dtype),         # fetched embedding row
+            pltpu.VMEM((8, c.d_model), dtype),         # aligned embedding window
             pltpu.SMEM((n_cb,), jnp.int32),            # sampled codes
             pltpu.SMEM((n_cb,), jnp.int32),            # argmax codes
             pltpu.SemaphoreType.DMA,
