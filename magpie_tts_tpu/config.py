@@ -74,10 +74,10 @@ class MagpieConfig:
     @property
     def max_seq(self) -> int:
         """KV-cache capacity: context + max decode steps + margin (magpie.cpp:3545),
-        rounded up to a multiple of 8 (TPU sublane tiling; extra slots are
-        masked out by the length mask)."""
+        rounded up to a multiple of 16 (TPU sublane tiling for f32 AND bf16
+        caches; extra slots are masked out by the length mask)."""
         n = self.context_frames + self.max_dec_steps + 16
-        return (n + 7) // 8 * 8
+        return (n + 15) // 16 * 16
 
     @classmethod
     def from_gguf_metadata(cls, kv: Mapping[str, object]) -> "MagpieConfig":

@@ -76,14 +76,18 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     dma(kc_hbm.at[l], kbuf, 1).wait()
     dma(vc_hbm.at[l], vbuf, 2).wait()
-    kbuf[pl.ds(pos, 1), :] = k_new
-    vbuf[pl.ds(pos, 1), :] = v_new
-    # Write back the aligned 8-row window containing the new row (HBM slices
-    # along the sublane dim must be 8-aligned; the window is already current
-    # in VMEM so the extra rows are no-op rewrites).
-    base = (pos // 8) * 8
-    dma(kbuf.at[pl.ds(base, 8)], kc_out.at[l, pl.ds(base, 8)], 4).start()
-    dma(vbuf.at[pl.ds(base, 8)], vc_out.at[l, pl.ds(base, 8)], 5).start()
+    # Insert the new row via an aligned 16-row read-modify-write (a 1-row
+    # store at a dynamic index is not provably aligned for bf16 tiles), then
+    # write the window back to HBM (HBM slices along the sublane dim must be
+    # tile-aligned; the extra rows are no-op rewrites).
+    base = (pos // 16) * 16
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) + base
+    kwin = kbuf[pl.ds(base, 16), :]
+    vwin = vbuf[pl.ds(base, 16), :]
+    kbuf[pl.ds(base, 16), :] = jnp.where(wrows == pos, k_new, kwin)
+    vbuf[pl.ds(base, 16), :] = jnp.where(wrows == pos, v_new, vwin)
+    dma(kbuf.at[pl.ds(base, 16)], kc_out.at[l, pl.ds(base, 16)], 4).start()
+    dma(vbuf.at[pl.ds(base, 16)], vc_out.at[l, pl.ds(base, 16)], 5).start()
 
     # per-head scores via the segment matrix (no head reshapes)
     lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
@@ -142,8 +146,8 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     x_ref[...] = x
 
-    dma(kbuf.at[pl.ds(base, 8)], kc_out.at[l, pl.ds(base, 8)], 4).wait()
-    dma(vbuf.at[pl.ds(base, 8)], vc_out.at[l, pl.ds(base, 8)], 5).wait()
+    dma(kbuf.at[pl.ds(base, 16)], kc_out.at[l, pl.ds(base, 16)], 4).wait()
+    dma(vbuf.at[pl.ds(base, 16)], vc_out.at[l, pl.ds(base, 16)], 5).wait()
 
     @pl.when(l == n_layers - 1)
     def _emit():

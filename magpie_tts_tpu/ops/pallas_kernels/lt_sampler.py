@@ -156,21 +156,39 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
     # --- feedback: embed sampled code with THIS codebook's table, re-project
     @pl.when(cb < n_cb - 1)
     def _feedback():
-        # HBM slices along the sublane dim must be 8-aligned: fetch the aligned
-        # 8-row window containing the code, then mask-select the row in VMEM.
+        # HBM slices along the sublane dim must be tile-aligned (8 rows f32 /
+        # 16 rows bf16): fetch the aligned 16-row window containing the code
+        # (the table is padded to a multiple of 16), mask-select the row in
+        # VMEM, and insert into the seq buffer with a masked full write (a
+        # 1-row store at a dynamic index is not provably aligned for bf16).
         code = code_smem[cb]
-        base = (code // 8) * 8
+        base = (code // 16) * 16
         copy = pltpu.make_async_copy(
-            emb_hbm.at[cb, pl.ds(base, 8), :], emb_scratch, dma_sem)
+            emb_hbm.at[cb, pl.ds(base, 16), :], emb_scratch, dma_sem)
         copy.start()
         copy.wait()
-        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
         emb = jnp.sum(jnp.where(rows == code - base,
                                 emb_scratch[...].astype(jnp.float32), 0.0),
                       axis=0, keepdims=True)
         proj = jnp.dot(emb.astype(in_w.dtype), in_w,
                        preferred_element_type=jnp.float32) + in_b
-        seq_ref[pl.ds(cb + 1, 1), :] = proj.astype(seq_ref.dtype)
+        srows = jax.lax.broadcasted_iota(jnp.int32, (_SEQ, 1), 0)
+        seq_ref[...] = jnp.where(srows == cb + 1, proj.astype(jnp.float32),
+                                 seq_ref[...].astype(jnp.float32)
+                                 ).astype(seq_ref.dtype)
+
+
+def _pad_rows_to_16(table: jnp.ndarray) -> jnp.ndarray:
+    """Pad dim 1 to a multiple of 16 so any 16-row fetch window is in bounds.
+
+    Loop-invariant (weights only): XLA hoists the pad out of the decode loop.
+    """
+    rows = table.shape[1]
+    pad = (-rows) % 16
+    if pad == 0:
+        return table
+    return jnp.pad(table, ((0, 0), (0, pad), (0, 0)))
 
 
 def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
@@ -231,7 +249,7 @@ def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
                    pl.BlockSpec((1, n_cb), lambda cb: (0, 0))),
         scratch_shapes=[
             pltpu.VMEM((_SEQ, c.lt_dim), dtype),       # seq buffer
-            pltpu.VMEM((8, c.d_model), dtype),         # aligned embedding window
+            pltpu.VMEM((16, c.d_model), dtype),        # aligned embedding window
             pltpu.SMEM((n_cb,), jnp.int32),            # sampled codes
             pltpu.SMEM((n_cb,), jnp.int32),            # argmax codes
             pltpu.SemaphoreType.DMA,
@@ -244,6 +262,6 @@ def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
       lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),
       lt.out_proj_w.astype(dtype),
       lt.out_proj_b.astype(jnp.float32).reshape(-1, 1, lt.out_proj_b.shape[-1]),
-      weights.audio_emb.astype(dtype), temp_arr, flags)
+      _pad_rows_to_16(weights.audio_emb.astype(dtype)), temp_arr, flags)
 
     return sampled[0], argmax[0]
