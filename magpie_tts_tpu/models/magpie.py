@@ -188,3 +188,86 @@ def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
                         use_pallas_lt=use_pallas_lt,
                         use_pallas_decoder=use_pallas_decoder)
     return state.codes, state.frame_idx
+
+
+class BatchedDecodeState(NamedTuple):
+    """Carry of the lockstep batched decode loop.
+
+    Unlike ``vmap(decode_loop)``, the cache/codes write positions are SCALARS
+    (all live streams advance in lockstep), so the per-step cache update stays
+    a ``dynamic_update_slice`` instead of becoming a scatter under vmap —
+    the difference between ~1ms and ~7ms per batched step on v5e.
+    """
+    k_cache: jnp.ndarray       # [B, L, max_seq, d_model]
+    v_cache: jnp.ndarray       # [B, L, max_seq, d_model]
+    hidden: jnp.ndarray        # [B, d_model]
+    step: jnp.ndarray          # i32 scalar: frames attempted so far
+    frame_idx: jnp.ndarray     # [B] i32: frames kept per stream (freezes at EOS)
+    codes: jnp.ndarray         # [B, max_dec_steps, 8] i32
+    done: jnp.ndarray          # [B] bool
+    keys: jnp.ndarray          # [B] PRNG keys
+
+
+def synthesize_codes_batched_program(
+        tokens: jnp.ndarray, enc_lengths: jnp.ndarray, speaker_ids: jnp.ndarray,
+        keys: jnp.ndarray, temperature: jnp.ndarray, weights: MagpieWeights,
+        config: MagpieConfig, top_k: int,
+        max_steps: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lockstep batched synthesis: tokens [B, T] -> (codes [B, N, 8], n_frames [B]).
+
+    Streams that hit EOS idle (their ``frame_idx``/``codes`` freeze) while the
+    rest continue; the loop ends when every stream is done or at the budget.
+    """
+    max_steps = max_steps or config.max_dec_steps
+    static_mask = sampling.forbidden_token_mask(
+        config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)
+    dtype = weights.text_emb.dtype
+
+    xa_k, xa_v, st = jax.vmap(
+        lambda t, el, sp: prepare(t, el, sp, weights, config)
+    )(tokens, enc_lengths, speaker_ids)
+
+    state = BatchedDecodeState(
+        k_cache=st.k_cache, v_cache=st.v_cache, hidden=st.hidden,
+        step=jnp.int32(0), frame_idx=st.frame_idx, codes=st.codes,
+        done=st.done, keys=keys)
+
+    def sample_one(hidden, key, forbid_eos):
+        return lt_mod.sample_frame_codes(
+            hidden, weights, config, key, temperature, top_k, forbid_eos,
+            static_mask)
+
+    def step_one(emb, pos, xak, xav, kc, vc, el):
+        return decoder_mod.decode_step(emb, pos, xak, xav, kc, vc,
+                                       weights, config, enc_length=el)
+
+    def cond(s: BatchedDecodeState):
+        return (~jnp.all(s.done)) & (s.step < max_steps)
+
+    def body(s: BatchedDecodeState) -> BatchedDecodeState:
+        forbid_eos = s.frame_idx < config.min_generated_frames
+        split = jax.vmap(jax.random.split, out_axes=1)(s.keys)
+        keys, subkeys = split[0], split[1]
+        sampled, argmax = jax.vmap(sample_one)(s.hidden, subkeys, forbid_eos)
+        is_eos = jax.vmap(
+            lambda sm, am: sampling.frame_has_eos(sm, am, config.audio_eos_id)
+        )(sampled, argmax)
+        done = s.done | is_eos
+
+        codes = jax.lax.dynamic_update_slice(
+            s.codes, sampled[:, None, :], (0, s.step, 0))
+        frame_idx = jnp.where(done, s.frame_idx, s.frame_idx + 1)
+
+        emb = audio_frame_embedding(sampled, weights, config).astype(dtype)
+        pos = jnp.int32(config.context_frames + 1) + s.step
+        hidden, k_cache, v_cache = jax.vmap(
+            step_one, in_axes=(0, None, 0, 0, 0, 0, 0)
+        )(emb, pos, xa_k, xa_v, s.k_cache, s.v_cache, enc_lengths)
+
+        return BatchedDecodeState(
+            k_cache=k_cache, v_cache=v_cache, hidden=hidden,
+            step=s.step + 1, frame_idx=frame_idx, codes=codes,
+            done=done, keys=keys)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state.codes, state.frame_idx

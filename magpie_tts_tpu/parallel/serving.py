@@ -30,18 +30,13 @@ def batched_synthesize_program(tokens: jnp.ndarray, enc_lengths: jnp.ndarray,
                                top_k: int):
     """tokens: [B, T]; enc_lengths, speaker_ids: [B]; keys: [B, 2].
 
-    vmap of the single-utterance program: under vmap, the AR while_loop's
-    condition becomes a batch-OR and finished sequences idle (their `done` flag
-    freezes frame_idx/codes) while the rest continue.
+    Lockstep batched loop (models.magpie.synthesize_codes_batched_program):
+    cache/code writes stay dynamic_update_slice (a naive vmap of the
+    single-utterance loop turns them into scatters, ~6x slower per step).
     """
-    def one(tokens, enc_length, speaker_id, key):
-        # Pallas step kernels are validated single-stream; under vmap the
-        # batched XLA path is used (its matmuls batch efficiently anyway).
-        return magpie_mod.synthesize_codes_program(
-            tokens, enc_length, speaker_id, key, temperature, weights, config,
-            top_k=top_k, use_pallas_lt=False, use_pallas_decoder=False)
-
-    return jax.vmap(one)(tokens, enc_lengths, speaker_ids, keys)
+    return magpie_mod.synthesize_codes_batched_program(
+        tokens, enc_lengths, speaker_ids, keys, temperature, weights, config,
+        top_k=top_k)
 
 
 class BatchedMagpieEngine:
