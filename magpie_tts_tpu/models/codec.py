@@ -148,9 +148,19 @@ def res_layer(x: jnp.ndarray, branches, dilations,
               leaky_slope: float, use_pallas: bool = False) -> jnp.ndarray:
     """Mean of 3 parallel kernel branches, each 3 sequential dilated blocks.
 
+    On the pallas path, small-channel stages (C <= 64) run entirely in the
+    time-packed lane layout (ops/pallas_kernels/codec_conv.py): pack once,
+    all 18 convs at 1/p the rows with dense 128-lane matmuls, unpack once.
     (A merged feature-group variant exists below but measured slower under
     XLA's grouped-conv lowering.)
     """
+    C = x.shape[-1]
+    if use_pallas:
+        from ..ops.pallas_kernels import codec_conv as cc
+
+        p = cc.pick_pack(C, C)
+        if p > 1:
+            return _res_layer_packed(x, branches, dilations, leaky_slope, p)
     acc = None
     for branch in branches:
         h = x
@@ -158,6 +168,32 @@ def res_layer(x: jnp.ndarray, branches, dilations,
             h = residual_block(h, blk, dilation, leaky_slope, use_pallas)
         acc = h if acc is None else acc + h
     return acc / len(branches)
+
+
+def _res_layer_packed(x: jnp.ndarray, branches, dilations,
+                      leaky_slope: float, p: int) -> jnp.ndarray:
+    """res_layer in the time-packed lane layout. x: [N, T, C]."""
+    from ..ops.pallas_kernels import codec_conv as cc
+
+    n, T, C = x.shape
+
+    def one(xs):
+        xp = cc.pack_time(xs, p)
+        acc = None
+        for branch in branches:
+            h = xp
+            for blk, dilation in zip(branch, dilations):
+                r = cc.snake_causal_conv_packed(
+                    h, blk.in_conv_w, blk.in_conv_b, blk.in_alpha, C, p,
+                    dilation=dilation, leaky_slope=leaky_slope)
+                r = cc.snake_causal_conv_packed(
+                    r, blk.sk_conv_w, blk.sk_conv_b, blk.sk_alpha, C, p,
+                    dilation=1, leaky_slope=leaky_slope)
+                h = h + r
+            acc = h if acc is None else acc + h
+        return cc.unpack_time(acc / len(branches), p, T, C)
+
+    return jax.vmap(one)(x)
 
 
 def _merged_half_snake(x: jnp.ndarray, alphas, C: int,

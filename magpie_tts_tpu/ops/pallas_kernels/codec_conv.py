@@ -72,12 +72,18 @@ def _kernel(prev_ref, cur_ref, w_ref, b_ref, alpha_ref, mask_ref, o_ref,
 def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                       alpha: Optional[jnp.ndarray], dilation: int = 1,
                       leaky_slope: float = 0.01, tile: Optional[int] = None,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      alpha_lanes: Optional[jnp.ndarray] = None,
+                      mask_lanes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Fused (optional HalfSnake) -> causal dilated conv.
 
     x: [T, C_in]; w: [k, C_in, C_out] (WIO); b: [C_out];
     alpha: [n_snake] Snake coefficients for the first n_snake channels (None =
     no activation, plain conv). Returns [T, C_out].
+
+    ``alpha_lanes``/``mask_lanes`` (both [C_in]) override the first-n-channels
+    layout with explicit per-lane Snake coefficients / membership — used by the
+    time-packed path where channels repeat across lane groups.
     """
     T, c_in = x.shape
     k, _, c_out = w.shape
@@ -99,8 +105,13 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     wp = jnp.pad(w, ((0, 0), (0, cp_in - c_in), (0, cp_out - c_out)))
     bp = jnp.pad(b, (0, cp_out - c_out)).reshape(1, cp_out)
 
-    apply_snake = alpha is not None
-    if apply_snake:
+    apply_snake = alpha is not None or alpha_lanes is not None
+    if alpha_lanes is not None:
+        alpha_full = jnp.ones((cp_in,), jnp.float32).at[:c_in].set(
+            alpha_lanes.astype(jnp.float32))
+        mask = jnp.zeros((cp_in,), jnp.float32).at[:c_in].set(
+            mask_lanes.astype(jnp.float32))
+    elif apply_snake:
         n_snake = alpha.shape[0]
         alpha_full = jnp.ones((cp_in,), jnp.float32).at[:n_snake].set(
             alpha.astype(jnp.float32))
@@ -134,6 +145,112 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pltpu.VMEM((tile, cp_out), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # window scratch + double-buffered in/out streams overshoot the
+            # default 16MB scoped-vmem limit at large tiles
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(xp, xp, wp, bp, alpha_full, mask)
 
     return out[:T, :c_out]
+
+
+# ---------------------------------------------------------------------------
+# Time-packing: small-channel stages (C = 27/54 at huge T) pad 22x/5.6x of the
+# 128-lane width away. Packing p consecutive time steps into the lane dim
+# (p * Cp = 128) makes every matmul dense: a causal dilated conv over packed
+# rows becomes a causal kernel-size-n_s dilation-1 conv with block-banded
+# weights, so the SAME kernel above runs it — at 1/p the rows.
+#
+#   x_hat[tau, j*Cp + c] = x[tau*p + j, c]
+#   y_hat[tau] = sum_sigma x_hat[tau - (n_s-1) + sigma] @ W_hat[sigma]
+#   W_hat[sigma, m*Cp + c, j*Cp + o] = w[i, c, o]  where  u = j - Delta + i*d,
+#       sigma = floor(u/p) + n_s - 1,  m = u mod p,  Delta = (k-1)*d,
+#       n_s = ceil(Delta/p) + 1.
+# ---------------------------------------------------------------------------
+
+
+def pick_pack(c_in: int, c_out: int) -> int:
+    """Largest p (power of two) with p * max(C) <= 128; 1 = no packing."""
+    c = max(c_in, c_out)
+    p = 1
+    while p * 2 * c <= LANE:
+        p *= 2
+    return p
+
+
+def pack_time(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[T, C] -> [ceil(T/p), p * (128//p)]; zero-pads T and channels."""
+    T, c = x.shape
+    cp = LANE // p
+    tp = _round_up(T, p)
+    xp = jnp.pad(x, ((0, tp - T), (0, cp - c)))
+    return xp.reshape(tp // p, p * cp)
+
+
+def unpack_time(y: jnp.ndarray, p: int, T: int, c: int) -> jnp.ndarray:
+    """Inverse of pack_time: [T_p/p, p*(128//p)] -> [T, C]."""
+    cp = LANE // p
+    return y.reshape(y.shape[0] * p, cp)[:T, :c]
+
+
+def packed_conv_weights(w: jnp.ndarray, dilation: int, p: int) -> jnp.ndarray:
+    """w: [k, C_in, C_out] (WIO) -> W_hat [n_s, p*Cp, p*Cp] for the packed conv."""
+    k, c_in, c_out = w.shape
+    cp = LANE // p
+    delta = (k - 1) * dilation
+    n_s = -(-delta // p) + 1
+    w_hat = jnp.zeros((n_s, p * cp, p * cp), w.dtype)
+    for j in range(p):
+        for i in range(k):
+            u = j - delta + i * dilation
+            sigma = (u // p) + n_s - 1       # python floordiv floors negatives
+            m = u % p
+            w_hat = w_hat.at[sigma,
+                             m * cp: m * cp + c_in,
+                             j * cp: j * cp + c_out].set(w[i])
+    return w_hat
+
+
+def packed_lane_params(alpha: Optional[jnp.ndarray], c: int, p: int):
+    """(alpha_lanes, mask_lanes, bias_tiler) for the packed lane layout."""
+    cp = LANE // p
+    if alpha is None:
+        alpha_lanes = None
+        mask_lanes = None
+    else:
+        n_snake = alpha.shape[0]
+        a = jnp.ones((cp,), jnp.float32).at[:n_snake].set(alpha.astype(jnp.float32))
+        m = jnp.zeros((cp,), jnp.float32).at[:n_snake].set(1.0)
+        alpha_lanes = jnp.tile(a, p)
+        mask_lanes = jnp.tile(m, p)
+    return alpha_lanes, mask_lanes
+
+
+def pack_bias(b: jnp.ndarray, p: int) -> jnp.ndarray:
+    cp = LANE // p
+    return jnp.tile(jnp.pad(b, (0, cp - b.shape[0])), p)
+
+
+def snake_causal_conv_packed(x_packed: jnp.ndarray, w: jnp.ndarray,
+                             b: jnp.ndarray, alpha: Optional[jnp.ndarray],
+                             c: int, p: int, dilation: int = 1,
+                             leaky_slope: float = 0.01,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Packed-domain fused (HalfSnake) -> causal conv: [T/p, 128] -> [T/p, 128].
+
+    ``x_packed`` is pre-activation in pack_time layout; ``w``/``b``/``alpha``
+    are the ORIGINAL conv parameters ([k, C, C] WIO, [C], [n_snake])."""
+    w_hat = packed_conv_weights(w, dilation, p)
+    alpha_lanes, mask_lanes = packed_lane_params(alpha, c, p)
+    if alpha_lanes is None:
+        # plain conv: still give explicit lane params so pad lanes stay inert
+        alpha_lanes = jnp.ones((x_packed.shape[1],), jnp.float32)
+        mask_lanes = jnp.zeros((x_packed.shape[1],), jnp.float32)
+        if alpha is not None:
+            raise AssertionError
+    bp = pack_bias(b, p)
+    return snake_causal_conv(
+        x_packed, w_hat, bp, None, dilation=1, leaky_slope=leaky_slope,
+        interpret=interpret,
+        alpha_lanes=alpha_lanes if alpha is not None else None,
+        mask_lanes=mask_lanes if alpha is not None else None)

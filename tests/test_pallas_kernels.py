@@ -72,3 +72,48 @@ def test_lt_sampler_topk_threshold_math(rng):
         forbidden = [CONFIG.audio_bos_id] + list(range(CONFIG.audio_bos_id + 2,
                                                        CONFIG.audio_bos_id + 8))
         assert not np.isin(s, forbidden).any()
+
+
+@pytest.mark.parametrize("C,k,d", [
+    (27, 3, 1), (27, 7, 3), (27, 11, 5), (27, 11, 1),
+    (54, 7, 1), (54, 11, 5),
+])
+def test_time_packed_conv_matches_unpacked(rng, C, k, d):
+    from magpie_tts_tpu.ops.pallas_kernels import codec_conv as cc
+
+    p = cc.pick_pack(C, C)
+    assert p > 1
+    T = 259  # not a multiple of p: exercises trailing-pad handling
+    x = jnp.asarray(rng.normal(0, 0.5, size=(T, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, size=(k, C, C)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(0.4, 1.4, size=(C // 2,)).astype(np.float32))
+    for a in (alpha, None):
+        ref = snake_causal_conv(x, w, b, a, dilation=d, tile=128, interpret=True)
+        got = cc.snake_causal_conv_packed(
+            cc.pack_time(x, p), w, b, a, C, p, dilation=d, interpret=True)
+        got = cc.unpack_time(got, p, T, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_res_layer_matches_unpacked(rng):
+    from magpie_tts_tpu.config import CodecConfig
+    from magpie_tts_tpu.io.codec_weights import random_codec_weights
+
+    cfg = CodecConfig()
+    cw = random_codec_weights(cfg, seed=3)
+    stage = cw.stages[-1]  # C=27 -> packed p=4
+    T = 130
+    x = jnp.asarray(rng.normal(0, 0.5, size=(1, T, 27)).astype(np.float32))
+    # interpret-mode packed path: patch the kernel entry to interpret
+    from magpie_tts_tpu.ops.pallas_kernels import codec_conv as cc
+    orig = cc.snake_causal_conv
+    cc.snake_causal_conv = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        got = cm.res_layer(x, stage.resblocks, cfg.resblock_dilations, 0.01,
+                           use_pallas=True)
+    finally:
+        cc.snake_causal_conv = orig
+    want = cm.res_layer(x, stage.resblocks, cfg.resblock_dilations, 0.01,
+                        use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
