@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream sentence-by-sentence (prints chunk timing)")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
                    help="on-device compute dtype")
+    p.add_argument("--serve-int8", action="store_true",
+                   help="stream decoder weights as per-column int8 (half the "
+                        "per-frame HBM traffic; ~Q8 quantization error)")
     p.add_argument("-q", "--quiet", action="store_true",
                    help="only print the output filename")
     return p
@@ -51,7 +54,8 @@ def main(argv=None) -> int:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     log(f"loading model {args.model} + codec {args.codec} (dtype={args.dtype})...")
     t0 = time.perf_counter()
-    pipeline = MagpiePipeline.from_gguf(args.model, args.codec, compute_dtype=dtype)
+    pipeline = MagpiePipeline.from_gguf(args.model, args.codec, compute_dtype=dtype,
+                                        serve_int8=args.serve_int8)
     log(f"loaded in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()

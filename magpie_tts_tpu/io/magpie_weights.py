@@ -64,6 +64,48 @@ class LocalTransformerWeights:
 
 
 @flax.struct.dataclass
+class Int8DecoderStream:
+    """Serving-quantized copies of the four weight matrices the fused decoder
+    step streams from HBM every frame (~170MB/frame in bf16 — the single-stream
+    bandwidth floor). Per-OUTPUT-COLUMN int8: W[:, o] ~ q[:, o] * s[o], so the
+    kernel dequantizes by scaling the matmul OUTPUT ((x @ q) * s) — no per-
+    element dequant pass, half the HBM weight traffic.
+
+    This is a device serving format, not the GGUF Q8_0 block layout (io/quant.py
+    keeps byte-compatibility with the reference converter for files on disk).
+    """
+    qkv_q: jnp.ndarray      # [L, d_model, 3*d_model] int8
+    qkv_s: jnp.ndarray      # [L, 3*d_model] f32
+    sa_out_q: jnp.ndarray   # [L, d_model, d_model] int8
+    sa_out_s: jnp.ndarray   # [L, d_model] f32
+    ff_proj_q: jnp.ndarray  # [L, d_model, d_ffn] int8
+    ff_proj_s: jnp.ndarray  # [L, d_ffn] f32
+    ff_out_q: jnp.ndarray   # [L, d_ffn, d_model] int8
+    ff_out_s: jnp.ndarray   # [L, d_model] f32
+
+
+def _colquant(w: jnp.ndarray):
+    """[..., In, Out] -> (int8 q, f32 s[..., Out]) with W ~ q * s."""
+    import jax.numpy as jnp_
+
+    wf = jnp_.asarray(w, jnp_.float32)
+    amax = jnp_.max(jnp_.abs(wf), axis=-2)
+    s = jnp_.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp_.clip(jnp_.round(wf / s[..., None, :]), -127, 127).astype(jnp_.int8)
+    return q, s
+
+
+def quantize_decoder_stream(dec: "DecoderWeights") -> Int8DecoderStream:
+    qkv_q, qkv_s = _colquant(dec.qkv)
+    sao_q, sao_s = _colquant(dec.sa_out)
+    ffp_q, ffp_s = _colquant(dec.ff_proj)
+    ffo_q, ffo_s = _colquant(dec.ff_out)
+    return Int8DecoderStream(qkv_q=qkv_q, qkv_s=qkv_s, sa_out_q=sao_q,
+                             sa_out_s=sao_s, ff_proj_q=ffp_q, ff_proj_s=ffp_s,
+                             ff_out_q=ffo_q, ff_out_s=ffo_s)
+
+
+@flax.struct.dataclass
 class MagpieWeights:
     text_emb: jnp.ndarray       # [text_vocab, d_model]
     audio_emb: jnp.ndarray      # [n_cb, vocab_per_cb, d_model]

@@ -103,7 +103,8 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
                 max_steps: Optional[int] = None,
                 target_frames: Optional[jnp.ndarray] = None,
                 use_pallas_lt: Optional[bool] = None,
-                use_pallas_decoder: Optional[bool] = None) -> DecodeState:
+                use_pallas_decoder: Optional[bool] = None,
+                int8_stream=None) -> DecodeState:
     """Run the autoregressive loop fully on device.
 
     Per iteration (mirrors magpie.cpp:4321-4407): sample all 8 codes from the
@@ -157,7 +158,7 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
 
             hidden, k_cache, v_cache = decode_step_pallas(
                 emb, s.pos, xa_k, xa_v, s.k_cache, s.v_cache, weights, config,
-                enc_length=enc_length)
+                enc_length=enc_length, int8_stream=int8_stream)
         else:
             hidden, k_cache, v_cache = decoder_mod.decode_step(
                 emb, s.pos, xa_k, xa_v, s.k_cache, s.v_cache, weights, config,
@@ -177,7 +178,8 @@ def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
                              config: MagpieConfig, top_k: int,
                              max_steps: Optional[int] = None,
                              use_pallas_lt: Optional[bool] = None,
-                             use_pallas_decoder: Optional[bool] = None):
+                             use_pallas_decoder: Optional[bool] = None,
+                             int8_stream=None):
     """The full single-utterance synthesis program (jit target).
 
     Returns (codes [max_dec_steps, 8], n_frames scalar i32).
@@ -186,7 +188,8 @@ def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
     state = decode_loop(xa_k, xa_v, state, enc_length, weights, config,
                         key, temperature, top_k, max_steps,
                         use_pallas_lt=use_pallas_lt,
-                        use_pallas_decoder=use_pallas_decoder)
+                        use_pallas_decoder=use_pallas_decoder,
+                        int8_stream=int8_stream)
     return state.codes, state.frame_idx
 
 

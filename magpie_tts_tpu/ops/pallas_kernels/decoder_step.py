@@ -38,6 +38,7 @@ def _ln(x, w, eps):
 
 def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
             xa_k_ref, xa_v_ref, scal_ref,
+            qkv_s_ref, sao_s_ref, ffp_s_ref, ffo_s_ref,
             qkv_hbm, sao_hbm, ffp_hbm, ffo_hbm, kc_hbm, vc_hbm,
             hidden_ref, kc_out, vc_out,
             x_ref, qkv_buf, sao_buf, ffp_buf, ffo_buf, kbuf, vbuf, sems, *,
@@ -48,7 +49,9 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     pos = scal_ref[0]
     enc_len = scal_ref[1]
     d_head = d_model // n_heads
-    wdt = qkv_buf.dtype
+    # Streamed weights may be serving-quantized int8 (dequant = scaling the
+    # matmul OUTPUT by the per-column scale vectors); compute stays in x dtype.
+    wdt = x_in_ref.dtype
 
     def dma(src, dst, sem_idx):
         return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
@@ -68,7 +71,9 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     # ---- self-attention ----
     h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
     dma(qkv_hbm.at[l], qkv_buf, 0).wait()
-    qkv = jnp.dot(h, qkv_buf[...], preferred_element_type=jnp.float32)  # (1, 3d)
+    qkv = jnp.dot(h, qkv_buf[...].astype(wdt),
+                  preferred_element_type=jnp.float32)  # (1, 3d)
+    qkv = qkv * qkv_s_ref[0].astype(jnp.float32)
     dma(sao_hbm.at[l], sao_buf, 3).start()
     q = qkv[:, :d_model]
     k_new = qkv[:, d_model:2 * d_model].astype(kbuf.dtype)
@@ -108,8 +113,9 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     attn = jnp.dot(ones_row, weighted, preferred_element_type=jnp.float32)  # [1, d]
 
     dma(sao_hbm.at[l], sao_buf, 3).wait()
-    x = x + jnp.dot(attn.astype(wdt), sao_buf[...],
-                    preferred_element_type=jnp.float32)
+    x = x + (jnp.dot(attn.astype(wdt), sao_buf[...].astype(wdt),
+                     preferred_element_type=jnp.float32)
+             * sao_s_ref[0].astype(jnp.float32))
     dma(ffp_hbm.at[l], ffp_buf, 6).start()
 
     # ---- cross-attention (1 head, precomputed K/V) ----
@@ -133,7 +139,9 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     # ---- FFN (pointwise) ----
     hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
     dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-    f = jnp.dot(hf, ffp_buf[...], preferred_element_type=jnp.float32)
+    f = (jnp.dot(hf, ffp_buf[...].astype(wdt),
+                 preferred_element_type=jnp.float32)
+         * ffp_s_ref[0].astype(jnp.float32))
     dma(ffo_hbm.at[l], ffo_buf, 7).start()
 
     @pl.when(l < n_layers - 1)
@@ -142,7 +150,9 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     f = gelu_fn(f).astype(wdt)
     dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-    x = x + jnp.dot(f, ffo_buf[...], preferred_element_type=jnp.float32)
+    x = x + (jnp.dot(f, ffo_buf[...].astype(wdt),
+                     preferred_element_type=jnp.float32)
+             * ffo_s_ref[0].astype(jnp.float32))
 
     x_ref[...] = x
 
@@ -159,12 +169,17 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
                        k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                        weights, config,
                        enc_length: Optional[jnp.ndarray] = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       int8_stream=None):
     """Drop-in replacement for models.decoder.decode_step on TPU.
 
     x: [d_model] frame embedding (position embedding added here);
     caches: [L, max_seq, d_model] (aliased/donated). Returns
     (hidden [d_model], k_cache, v_cache).
+
+    ``int8_stream`` (io.magpie_weights.Int8DecoderStream): stream the four big
+    weight matrices as per-column int8 — halves the per-frame HBM weight
+    traffic, which is the single-stream decode floor.
     """
     dec = weights.decoder
     c = config
@@ -173,6 +188,19 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
     E = xa_k.shape[1]
     if enc_length is None:
         enc_length = jnp.int32(E)
+
+    if int8_stream is None:
+        qkv_w, sao_w = dec.qkv.astype(dtype), dec.sa_out.astype(dtype)
+        ffp_w, ffo_w = dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype)
+        ones = lambda n: jnp.ones((c.dec_layers, n), jnp.float32)
+        qkv_s, sao_s = ones(3 * D), ones(D)
+        ffp_s, ffo_s = ones(c.d_ffn), ones(D)
+        stream_dtype = dtype
+    else:
+        s = int8_stream
+        qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
+        qkv_s, sao_s, ffp_s, ffo_s = s.qkv_s, s.sa_out_s, s.ff_proj_s, s.ff_out_s
+        stream_dtype = jnp.int8
 
     x_in = (x + dec.pos_emb[pos]).astype(dtype).reshape(1, D)
     norms = jnp.stack([dec.norm_self, dec.norm_xa_q, dec.norm_ff],
@@ -208,6 +236,10 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
             pl.BlockSpec((1, E, c.d_xa), lambda l: (l, 0, 0)),  # xa_k
             pl.BlockSpec((1, E, c.d_xa), lambda l: (l, 0, 0)),  # xa_v
             pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars
+            pl.BlockSpec((1, 1, 3 * D), lambda l: (l, 0, 0)),   # qkv scales
+            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0)),       # sa_out scales
+            pl.BlockSpec((1, 1, c.d_ffn), lambda l: (l, 0, 0)),  # ff_proj scales
+            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0)),       # ff_out scales
             pl.BlockSpec(memory_space=pltpu.HBM),               # qkv_hbm
             pl.BlockSpec(memory_space=pltpu.HBM),               # sao_hbm
             pl.BlockSpec(memory_space=pltpu.HBM),               # ffp_hbm
@@ -218,13 +250,13 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
         out_specs=(vmem_block(1, D),
                    pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec(memory_space=pltpu.HBM)),
-        input_output_aliases={12: 1, 13: 2},  # caches update in place
+        input_output_aliases={16: 1, 17: 2},  # caches update in place
         scratch_shapes=[
             pltpu.VMEM((1, D), jnp.float32),          # x carry
-            pltpu.VMEM((D, 3 * D), dtype),            # qkv weights
-            pltpu.VMEM((D, D), dtype),                # sa_out
-            pltpu.VMEM((D, c.d_ffn), dtype),          # ff_proj
-            pltpu.VMEM((c.d_ffn, D), dtype),          # ff_out
+            pltpu.VMEM((D, 3 * D), stream_dtype),     # qkv weights
+            pltpu.VMEM((D, D), stream_dtype),         # sa_out
+            pltpu.VMEM((D, c.d_ffn), stream_dtype),   # ff_proj
+            pltpu.VMEM((c.d_ffn, D), stream_dtype),   # ff_out
             pltpu.VMEM((S, D), k_cache.dtype),        # k block
             pltpu.VMEM((S, D), v_cache.dtype),        # v block
             pltpu.SemaphoreType.DMA((8,)),
@@ -238,8 +270,8 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
     )(x_in, norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
       dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
       xa_k.astype(dtype), xa_v.astype(dtype), scal,
-      dec.qkv.astype(dtype), dec.sa_out.astype(dtype),
-      dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype),
+      qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
+      qkv_w, sao_w, ffp_w, ffo_w,
       k_cache, v_cache)
 
     return hidden[0], k_out, v_out

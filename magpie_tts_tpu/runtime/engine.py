@@ -57,6 +57,7 @@ class MagpieEngine:
         token_buckets: Sequence[int] = DEFAULT_TOKEN_BUCKETS,
         use_pallas_lt: bool = None,
         use_pallas_decoder: bool = None,
+        serve_int8: bool = False,
     ):
         self.config = config
         self.compute_dtype = jnp.dtype(compute_dtype)
@@ -65,6 +66,13 @@ class MagpieEngine:
         self.token_buckets = tuple(token_buckets)
         self.use_pallas_lt = use_pallas_lt
         self.use_pallas_decoder = use_pallas_decoder
+        # Serving-quantized int8 copies of the streamed decoder matrices (half
+        # the per-frame HBM weight traffic; pallas decoder path only).
+        self.int8_stream = None
+        if serve_int8:
+            from ..io.magpie_weights import quantize_decoder_stream
+
+            self.int8_stream = quantize_decoder_stream(self.weights.decoder)
         self._synth_cache: Dict[Tuple[int, int], object] = {}
         self._chunk_cache: Dict[Tuple[int, int], object] = {}
 
@@ -81,12 +89,13 @@ class MagpieEngine:
             use_pallas_lt = self.use_pallas_lt
             use_pallas_decoder = self.use_pallas_decoder
 
-            def program(weights, tokens, enc_length, speaker_id, rng_key,
-                        temperature):
+            def program(weights, int8_stream, tokens, enc_length, speaker_id,
+                        rng_key, temperature):
                 return magpie_mod.synthesize_codes_program(
                     tokens, enc_length, speaker_id, rng_key, temperature,
                     weights, config, top_k=top_k, use_pallas_lt=use_pallas_lt,
-                    use_pallas_decoder=use_pallas_decoder)
+                    use_pallas_decoder=use_pallas_decoder,
+                    int8_stream=int8_stream)
 
             fn = jax.jit(program)
             self._synth_cache[key] = fn
@@ -115,15 +124,16 @@ class MagpieEngine:
             use_pallas_lt = self.use_pallas_lt
             use_pallas_decoder = self.use_pallas_decoder
 
-            def program(weights, xa_k, xa_v, state, enc_length, rng_key,
-                        temperature, target_frames):
+            def program(weights, int8_stream, xa_k, xa_v, state, enc_length,
+                        rng_key, temperature, target_frames):
                 return magpie_mod.decode_loop(
                     xa_k, xa_v, state, enc_length, weights, config,
                     rng_key, temperature, top_k, target_frames=target_frames,
                     use_pallas_lt=use_pallas_lt,
-                    use_pallas_decoder=use_pallas_decoder)
+                    use_pallas_decoder=use_pallas_decoder,
+                    int8_stream=int8_stream)
 
-            fn = jax.jit(program, donate_argnums=(3,))
+            fn = jax.jit(program, donate_argnums=(4,))
             self._chunk_cache[key] = fn
         return fn
 
@@ -142,7 +152,7 @@ class MagpieEngine:
         """Generate audio codes for one tokenized utterance (blocking)."""
         tokens, enc_length, bucket = self._pad_tokens(token_ids)
         fn = self._synth_fn(bucket, top_k)
-        codes, n_frames = fn(self.weights, tokens, enc_length,
+        codes, n_frames = fn(self.weights, self.int8_stream, tokens, enc_length,
                              jnp.int32(speaker_id), jax.random.PRNGKey(seed),
                              jnp.float32(temperature))
         n = int(n_frames)
@@ -168,9 +178,9 @@ class MagpieEngine:
         target = min(start + n_frames, self.config.max_dec_steps)
         fn = self._chunk_fn(stream["bucket"], top_k)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), stream["chunk_idx"])
-        state = fn(self.weights, stream["xa_k"], stream["xa_v"], state,
-                   stream["enc_length"], key, jnp.float32(temperature),
-                   jnp.int32(target))
+        state = fn(self.weights, self.int8_stream, stream["xa_k"],
+                   stream["xa_v"], state, stream["enc_length"], key,
+                   jnp.float32(temperature), jnp.int32(target))
         stream["state"] = state
         stream["chunk_idx"] += 1
         end = int(state.frame_idx)

@@ -117,3 +117,37 @@ def test_packed_res_layer_matches_unpacked(rng):
     want = cm.res_layer(x, stage.resblocks, cfg.resblock_dilations, 0.01,
                         use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_decoder_step_int8_stream_matches_dequant_oracle(rng):
+    """Kernel with per-column int8 streaming == XLA step on dequantized weights."""
+    from magpie_tts_tpu.io.magpie_weights import quantize_decoder_stream
+    from magpie_tts_tpu.models import decoder as decoder_mod
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step import decode_step_pallas
+
+    c = CONFIG
+    w = WEIGHTS
+    stream = quantize_decoder_stream(w.decoder)
+    deq = w.decoder.replace(
+        qkv=stream.qkv_q.astype(jnp.float32) * stream.qkv_s[:, None, :],
+        sa_out=stream.sa_out_q.astype(jnp.float32) * stream.sa_out_s[:, None, :],
+        ff_proj=stream.ff_proj_q.astype(jnp.float32) * stream.ff_proj_s[:, None, :],
+        ff_out=stream.ff_out_q.astype(jnp.float32) * stream.ff_out_s[:, None, :])
+    w_deq = w.replace(decoder=deq)
+
+    enc_len = jnp.int32(6)
+    tokens = jnp.asarray(rng.integers(2, c.text_vocab_size - 2, size=8), jnp.int32)
+    xa_k, xa_v, state = magpie_mod.prepare(tokens, enc_len, jnp.int32(0), w, c)
+    emb = magpie_mod.audio_frame_embedding(
+        jnp.asarray(rng.integers(0, c.vocab_per_cb, size=(c.num_codebooks,)),
+                    jnp.int32), w, c)
+
+    got = decode_step_pallas(emb, state.pos, xa_k, xa_v, state.k_cache,
+                             state.v_cache, w, c, enc_length=enc_len,
+                             interpret=True, int8_stream=stream)[0]
+    want = decoder_mod.decode_step(emb, state.pos, xa_k, xa_v, state.k_cache,
+                                   state.v_cache, w_deq, c,
+                                   enc_length=enc_len)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-3)
