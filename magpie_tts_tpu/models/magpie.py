@@ -134,6 +134,26 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     def body(s: DecodeState) -> DecodeState:
         forbid_eos = s.frame_idx < config.min_generated_frames
         key, subkey = jax.random.split(s.key)
+        import os as _os
+        if (use_pallas_lt and use_pallas_decoder
+                and not _os.environ.get("MAGPIE_NO_FUSED")):
+            # Fully fused frame: LT sampling + embedding + 12 decoder layers in
+            # ONE kernel — the LT compute hides under the decoder weight DMAs.
+            from ..ops.pallas_kernels.frame_step import frame_step_pallas
+
+            seed = jax.lax.bitcast_convert_type(subkey[0], jnp.int32)
+            sampled, argmax, hidden, k_cache, v_cache = frame_step_pallas(
+                s.hidden, s.pos, xa_k, xa_v, s.k_cache, s.v_cache, weights,
+                config, seed, temperature, top_k, forbid_eos,
+                enc_length=enc_length, int8_stream=int8_stream)
+            is_eos = sampling.frame_has_eos(sampled, argmax, config.audio_eos_id)
+            codes = jax.lax.dynamic_update_slice(
+                s.codes, sampled[None, :], (s.frame_idx, 0))
+            frame_idx = jnp.where(is_eos, s.frame_idx, s.frame_idx + 1)
+            return DecodeState(
+                k_cache=k_cache, v_cache=v_cache, hidden=hidden,
+                pos=s.pos + 1, frame_idx=frame_idx, codes=codes,
+                done=is_eos, key=key)
         if use_pallas_lt:
             from ..ops.pallas_kernels.lt_sampler import sample_frame_codes_pallas
 

@@ -56,15 +56,18 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     def dma(src, dst, sem_idx):
         return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
 
-    # Prologue: layer 0's QKV weights + seed x from the input.
+    # Prologue: start ALL of layer 0's streams; thereafter every stream runs
+    # one phase ahead (wait -> single use -> start l+1) so DMA hides under
+    # compute instead of serializing inside the phase.
     @pl.when(l == 0)
     def _prologue():
         x_ref[...] = x_in_ref[...].astype(jnp.float32)
         dma(qkv_hbm.at[0], qkv_buf, 0).start()
-
-    # Cache blocks for this layer.
-    dma(kc_hbm.at[l], kbuf, 1).start()
-    dma(vc_hbm.at[l], vbuf, 2).start()
+        dma(kc_hbm.at[0], kbuf, 1).start()
+        dma(vc_hbm.at[0], vbuf, 2).start()
+        dma(sao_hbm.at[0], sao_buf, 3).start()
+        dma(ffp_hbm.at[0], ffp_buf, 6).start()
+        dma(ffo_hbm.at[0], ffo_buf, 7).start()
 
     x = x_ref[...]  # (1, d_model) f32
 
@@ -74,7 +77,11 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     qkv = jnp.dot(h, qkv_buf[...].astype(wdt),
                   preferred_element_type=jnp.float32)  # (1, 3d)
     qkv = qkv * qkv_s_ref[0].astype(jnp.float32)
-    dma(sao_hbm.at[l], sao_buf, 3).start()
+
+    @pl.when(l < n_layers - 1)
+    def _prefetch_qkv():
+        dma(qkv_hbm.at[l + 1], qkv_buf, 0).start()
+
     q = qkv[:, :d_model]
     k_new = qkv[:, d_model:2 * d_model].astype(kbuf.dtype)
     v_new = qkv[:, 2 * d_model:].astype(vbuf.dtype)
@@ -116,7 +123,10 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     x = x + (jnp.dot(attn.astype(wdt), sao_buf[...].astype(wdt),
                      preferred_element_type=jnp.float32)
              * sao_s_ref[0].astype(jnp.float32))
-    dma(ffp_hbm.at[l], ffp_buf, 6).start()
+
+    @pl.when(l < n_layers - 1)
+    def _prefetch_sao():
+        dma(sao_hbm.at[l + 1], sao_buf, 3).start()
 
     # ---- cross-attention (1 head, precomputed K/V) ----
     hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
@@ -142,11 +152,10 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     f = (jnp.dot(hf, ffp_buf[...].astype(wdt),
                  preferred_element_type=jnp.float32)
          * ffp_s_ref[0].astype(jnp.float32))
-    dma(ffo_hbm.at[l], ffo_buf, 7).start()
 
     @pl.when(l < n_layers - 1)
-    def _prefetch_next():
-        dma(qkv_hbm.at[l + 1], qkv_buf, 0).start()
+    def _prefetch_ffp():
+        dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
 
     f = gelu_fn(f).astype(wdt)
     dma(ffo_hbm.at[l], ffo_buf, 7).wait()
@@ -154,10 +163,19 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
                      preferred_element_type=jnp.float32)
              * ffo_s_ref[0].astype(jnp.float32))
 
+    @pl.when(l < n_layers - 1)
+    def _prefetch_ffo():
+        dma(ffo_hbm.at[l + 1], ffo_buf, 7).start()
+
     x_ref[...] = x
 
     dma(kbuf.at[pl.ds(base, 16)], kc_out.at[l, pl.ds(base, 16)], 4).wait()
     dma(vbuf.at[pl.ds(base, 16)], vc_out.at[l, pl.ds(base, 16)], 5).wait()
+
+    @pl.when(l < n_layers - 1)
+    def _prefetch_cache():
+        dma(kc_hbm.at[l + 1], kbuf, 1).start()
+        dma(vc_hbm.at[l + 1], vbuf, 2).start()
 
     @pl.when(l == n_layers - 1)
     def _emit():

@@ -1,0 +1,473 @@
+"""Fused per-frame kernel: LT sampling + embedding + all 12 decoder layers.
+
+One pallas_call per generated frame, grid = (8 LT codebook phases + 12 decoder
+layers,). Fusing the two kernels (lt_sampler.py, decoder_step.py) buys what
+separate launches cannot: the decoder's layer-0 weight/cache DMAs start in the
+FIRST LT phase, so the ~60us of LT compute hides under the ~135us of decoder
+HBM streaming that dominates the frame (the TensorCore runs one kernel at a
+time, so separately launched kernels strictly serialize).
+
+The frame embedding is also produced in-kernel: the LT feedback path already
+fetches the sampled code's embedding row for codebooks 0..6; phase 7 fetches
+the last row, and the running sum / 8 (+ position embedding, reference
+magpie.cpp:1434 scale) seeds the decoder phases directly — no XLA gather
+between the kernels.
+
+Reference semantics: magpie.cpp:1113-1317 (LT sampling), 3484-3528 (cached
+decoder step); parity oracle is the XLA path (models/local_transformer.py +
+models/decoder.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import gelu_kernel
+
+_SEQ = 16       # padded LT sequence buffer rows (9 used)
+_NEG = -1e30
+
+
+def _ln(x, w, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    return (c / jnp.sqrt(var + eps)) * w.astype(jnp.float32)
+
+
+def _kernel(hidden_ref, posemb_ref,
+            # LT weights
+            lt_inw_ref, lt_inb_ref, lt_pos_ref, lt_ns_ref, lt_qkv_ref,
+            lt_sao_ref, lt_nf_ref, lt_ffp_ref, lt_ffo_ref, lt_ow_ref, lt_ob_ref,
+            # decoder per-layer VMEM blocks
+            norms_ref, final_norm_ref, xa_q_ref, xa_out_ref, xa_k_ref, xa_v_ref,
+            qkv_s_ref, sao_s_ref, ffp_s_ref, ffo_s_ref,
+            # scalars
+            temp_ref, flags_ref, scal_ref,
+            # HBM
+            emb_hbm, qkv_hbm, sao_hbm, ffp_hbm, ffo_hbm, kc_hbm, vc_hbm,
+            # outputs
+            sampled_ref, argmax_ref, hidden_out_ref, kc_out, vc_out,
+            # scratch
+            seq_ref, emb_win, emb_acc, code_smem, amax_smem,
+            x_ref, qkv_buf, sao_buf, ffp_buf, ffo_buf, kbuf, vbuf, sems, *,
+            n_cb: int, lt_dim: int, vocab: int, top_k: int,
+            audio_bos_id: int, audio_eos_id: int,
+            n_layers: int, d_model: int, n_heads: int, d_xa: int,
+            max_seq: int, enc_pad: int, eps: float, use_prng: bool):
+    i = pl.program_id(0)
+    pos = scal_ref[0]
+    enc_len = scal_ref[1]
+    wdt = hidden_ref.dtype
+
+    def dma(src, dst, sem_idx):
+        return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
+
+    # ---- prologue: start decoder layer-0 streaming under the LT phases ----
+    @pl.when(i == 0)
+    def _prologue():
+        emb_acc[...] = jnp.zeros_like(emb_acc)
+        dma(qkv_hbm.at[0], qkv_buf, 0).start()
+        dma(kc_hbm.at[0], kbuf, 1).start()
+        dma(vc_hbm.at[0], vbuf, 2).start()
+        dma(sao_hbm.at[0], sao_buf, 3).start()
+        dma(ffp_hbm.at[0], ffp_buf, 6).start()
+        dma(ffo_hbm.at[0], ffo_buf, 7).start()
+
+    # ======================= LT phases (i in [0, n_cb)) =====================
+    @pl.when(i < n_cb)
+    def _lt_phase():
+        cb = i
+        in_w = lt_inw_ref[...]
+        in_b = lt_inb_ref[0, :].astype(jnp.float32)
+
+        @pl.when(cb == 0)
+        def _init():
+            seq_ref[...] = jnp.zeros_like(seq_ref)
+            proj = jnp.dot(hidden_ref[...], in_w,
+                           preferred_element_type=jnp.float32) + in_b
+            seq_ref[0:1, :] = proj.astype(seq_ref.dtype)
+
+        n = _SEQ
+        x = (seq_ref[...].astype(jnp.float32) +
+             lt_pos_ref[...].astype(jnp.float32))
+        h = _ln(x, lt_ns_ref[0, :], eps).astype(seq_ref.dtype)
+        qkv = jnp.dot(h, lt_qkv_ref[...], preferred_element_type=jnp.float32)
+        q = qkv[:, :lt_dim].astype(seq_ref.dtype)
+        k = qkv[:, lt_dim:2 * lt_dim].astype(seq_ref.dtype)
+        v = qkv[:, 2 * lt_dim:].astype(seq_ref.dtype)
+        scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        scores = jnp.where(cols <= rows, scores, _NEG)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)
+                 ).astype(seq_ref.dtype)
+        attn = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+        x = x + jnp.dot(attn.astype(seq_ref.dtype), lt_sao_ref[...],
+                        preferred_element_type=jnp.float32)
+        h2 = _ln(x, lt_nf_ref[0, :], eps).astype(seq_ref.dtype)
+        ff = jnp.dot(h2, lt_ffp_ref[...], preferred_element_type=jnp.float32)
+        ff = gelu_kernel(ff, approximate=False).astype(seq_ref.dtype)
+        x = x + jnp.dot(ff, lt_ffo_ref[...], preferred_element_type=jnp.float32)
+
+        row_mask = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == cb
+        hid = jnp.sum(jnp.where(row_mask, x, 0.0), axis=0, keepdims=True)
+        logits = jnp.dot(hid.astype(seq_ref.dtype), lt_ow_ref[0],
+                         preferred_element_type=jnp.float32)[0]
+        logits = logits + lt_ob_ref[0, 0].astype(jnp.float32)
+
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)[0]
+        forbidden = (ids == audio_bos_id) | \
+                    ((ids >= audio_bos_id + 2) & (ids <= audio_bos_id + 7))
+        forbid_eos = flags_ref[0] > 0
+        forbidden = forbidden | (forbid_eos & (ids == audio_eos_id))
+        logits = jnp.where(forbidden, _NEG, logits)
+
+        amax = jnp.argmax(logits).astype(jnp.int32)
+
+        temp = temp_ref[0]
+        valid = jnp.where(forbidden, jnp.float32(3.4e38), logits)
+        lo0 = jnp.min(valid)
+        hi0 = jnp.max(logits)
+
+        def refine(lo, hi):
+            span = jnp.maximum(hi - lo, 1e-20)
+            steps = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
+            edges = lo + span * (steps.astype(jnp.float32) / 128.0)
+            counts = jnp.sum((logits[:, None] >= edges[None, :])
+                             .astype(jnp.int32), axis=0)
+            sel = jnp.sum((counts >= top_k).astype(jnp.int32)) - 1
+            sel = jnp.clip(sel, 0, 127).astype(jnp.float32)
+            return (lo + span * (sel / 128.0),
+                    jnp.minimum(lo + span * ((sel + 1) / 128.0), hi))
+
+        lo1, hi1 = refine(lo0, hi0)
+        tau, _ = refine(lo1, hi1)
+        in_topk = logits >= tau
+
+        if use_prng:
+            pltpu.prng_seed(flags_ref[1] * jnp.int32(n_cb) + cb)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)),
+                                 jnp.int32)[0]
+            u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
+                1.0 / (1 << 24))
+            u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
+            gumbel = -jnp.log(-jnp.log(u))
+        else:
+            gumbel = jnp.zeros((vocab,), jnp.float32)
+        safe_temp = jnp.maximum(temp, 0.01)
+        z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
+        drawn = jnp.argmax(z).astype(jnp.int32)
+
+        greedy = temp < 0.01
+        code = jnp.where(greedy, amax, drawn)
+        code_smem[cb] = code
+        amax_smem[cb] = amax
+
+        # fetch this code's embedding row (16-aligned window), accumulate the
+        # frame embedding, and (for cb < 7) feed the projection back into seq
+        base = (code // 16) * 16
+        copy = dma(emb_hbm.at[cb, pl.ds(base, 16), :], emb_win, 8)
+        copy.start()
+        copy.wait()
+        rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        emb = jnp.sum(jnp.where(rows16 == code - base,
+                                emb_win[...].astype(jnp.float32), 0.0),
+                      axis=0, keepdims=True)
+        emb_acc[...] += emb
+
+        @pl.when(cb < n_cb - 1)
+        def _feedback():
+            proj = jnp.dot(emb.astype(in_w.dtype), in_w,
+                           preferred_element_type=jnp.float32) + in_b
+            srows = jax.lax.broadcasted_iota(jnp.int32, (_SEQ, 1), 0)
+            seq_ref[...] = jnp.where(srows == cb + 1,
+                                     proj.astype(jnp.float32),
+                                     seq_ref[...].astype(jnp.float32)
+                                     ).astype(seq_ref.dtype)
+
+        @pl.when(cb == n_cb - 1)
+        def _emit_codes():
+            sampled_ref[0, :] = jnp.stack([code_smem[j] for j in range(n_cb)])
+            argmax_ref[0, :] = jnp.stack([amax_smem[j] for j in range(n_cb)])
+            # seed the decoder: mean embedding + position embedding
+            x_ref[...] = (emb_acc[...] * (1.0 / n_cb) +
+                          posemb_ref[...].astype(jnp.float32))
+
+    # ===================== decoder phases (i in [n_cb, n_cb+L)) ============
+    @pl.when(i >= n_cb)
+    def _decoder_phase():
+        l = i - n_cb
+        d_head = d_model // n_heads
+
+        x = x_ref[...]  # (1, d_model) f32
+
+        # Every stream runs one phase ahead: wait -> single use -> start l+1.
+        # DMA is then fully hidden under compute (per-layer weight DMA ~9us
+        # int8 vs ~10us compute; serial waits cost ~40% otherwise).
+        h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
+        dma(qkv_hbm.at[l], qkv_buf, 0).wait()
+        qkv = jnp.dot(h, qkv_buf[...].astype(wdt),
+                      preferred_element_type=jnp.float32)
+        qkv = qkv * qkv_s_ref[0].astype(jnp.float32)
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_qkv():
+            dma(qkv_hbm.at[l + 1], qkv_buf, 0).start()
+
+        q = qkv[:, :d_model]
+        k_new = qkv[:, d_model:2 * d_model].astype(kbuf.dtype)
+        v_new = qkv[:, 2 * d_model:].astype(vbuf.dtype)
+
+        dma(kc_hbm.at[l], kbuf, 1).wait()
+        dma(vc_hbm.at[l], vbuf, 2).wait()
+        base = (pos // 16) * 16
+        wrows = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) + base
+        kwin = kbuf[pl.ds(base, 16), :]
+        vwin = vbuf[pl.ds(base, 16), :]
+        kbuf[pl.ds(base, 16), :] = jnp.where(wrows == pos, k_new, kwin)
+        vbuf[pl.ds(base, 16), :] = jnp.where(wrows == pos, v_new, vwin)
+        dma(kbuf.at[pl.ds(base, 16)], kc_out.at[l, pl.ds(base, 16)], 4).start()
+        dma(vbuf.at[pl.ds(base, 16)], vc_out.at[l, pl.ds(base, 16)], 5).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
+        head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
+        seg = (lane // d_head == head).astype(wdt)
+        z = (kbuf[...].astype(jnp.float32) * q).astype(wdt)
+        scores = jnp.dot(z, seg, preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / jnp.sqrt(jnp.float32(d_head)))
+        row = jax.lax.broadcasted_iota(jnp.int32, (max_seq, n_heads), 0)
+        scores = jnp.where(row <= pos, scores, _NEG)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        p = jnp.exp(scores - m)
+        probs = p / jnp.sum(p, axis=0, keepdims=True)
+        probs_exp = jnp.dot(probs.astype(wdt), seg.T,
+                            preferred_element_type=jnp.float32)
+        weighted = (probs_exp * vbuf[...].astype(jnp.float32)).astype(wdt)
+        ones_row = jnp.ones((1, max_seq), wdt)
+        attn = jnp.dot(ones_row, weighted, preferred_element_type=jnp.float32)
+
+        dma(sao_hbm.at[l], sao_buf, 3).wait()
+        x = x + (jnp.dot(attn.astype(wdt), sao_buf[...].astype(wdt),
+                         preferred_element_type=jnp.float32)
+                 * sao_s_ref[0].astype(jnp.float32))
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_sao():
+            dma(sao_hbm.at[l + 1], sao_buf, 3).start()
+
+        hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
+        q2 = jnp.dot(hq, xa_q_ref[0], preferred_element_type=jnp.float32)
+        zx = (xa_k_ref[0].astype(jnp.float32) * q2).astype(wdt)
+        ones_col = jnp.ones((d_xa, 1), wdt)
+        sx = jnp.dot(zx, ones_col, preferred_element_type=jnp.float32)
+        sx = sx * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
+        erow = jax.lax.broadcasted_iota(jnp.int32, (enc_pad, 1), 0)
+        sx = jnp.where(erow < enc_len, sx, _NEG)
+        mx = jnp.max(sx, axis=0, keepdims=True)
+        px = jnp.exp(sx - mx)
+        px = px / jnp.sum(px, axis=0, keepdims=True)
+        wv = (px * xa_v_ref[0].astype(jnp.float32)).astype(wdt)
+        ones_e = jnp.ones((1, enc_pad), wdt)
+        xa = jnp.dot(ones_e, wv, preferred_element_type=jnp.float32)
+        x = x + jnp.dot(xa.astype(wdt), xa_out_ref[0],
+                        preferred_element_type=jnp.float32)
+
+        hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
+        dma(ffp_hbm.at[l], ffp_buf, 6).wait()
+        f = (jnp.dot(hf, ffp_buf[...].astype(wdt),
+                     preferred_element_type=jnp.float32)
+             * ffp_s_ref[0].astype(jnp.float32))
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_ffp():
+            dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
+
+        f = gelu_kernel(f, approximate=False).astype(wdt)
+        dma(ffo_hbm.at[l], ffo_buf, 7).wait()
+        x = x + (jnp.dot(f, ffo_buf[...].astype(wdt),
+                         preferred_element_type=jnp.float32)
+                 * ffo_s_ref[0].astype(jnp.float32))
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_ffo():
+            dma(ffo_hbm.at[l + 1], ffo_buf, 7).start()
+
+        x_ref[...] = x
+
+        dma(kbuf.at[pl.ds(base, 16)], kc_out.at[l, pl.ds(base, 16)], 4).wait()
+        dma(vbuf.at[pl.ds(base, 16)], vc_out.at[l, pl.ds(base, 16)], 5).wait()
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_cache():
+            dma(kc_hbm.at[l + 1], kbuf, 1).start()
+            dma(vc_hbm.at[l + 1], vbuf, 2).start()
+
+        @pl.when(l == n_layers - 1)
+        def _emit():
+            hidden_out_ref[...] = _ln(x, final_norm_ref[0], eps
+                                      ).astype(hidden_out_ref.dtype)
+
+
+def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
+                      xa_k: jnp.ndarray, xa_v: jnp.ndarray,
+                      k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                      weights, config,
+                      seed: jnp.ndarray, temperature: jnp.ndarray,
+                      top_k: int, forbid_eos: jnp.ndarray,
+                      enc_length: Optional[jnp.ndarray] = None,
+                      int8_stream=None,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                 jnp.ndarray, jnp.ndarray]:
+    """One full frame: sample 8 codes from ``hidden``, embed, run the decoder.
+
+    Returns (sampled [8], argmax [8], new_hidden [d_model], k_cache, v_cache).
+    Caches update in place (aliased). ``pos`` is the cache slot the NEW frame's
+    K/V are written to.
+    """
+    from .lt_sampler import _pad_rows_to_16
+
+    dec = weights.decoder
+    lt = weights.lt
+    c = config
+    dtype = weights.text_emb.dtype
+    L, S, D = k_cache.shape
+    E = xa_k.shape[1]
+    if enc_length is None:
+        enc_length = jnp.int32(E)
+    top_k = min(top_k, c.vocab_per_cb)
+
+    if int8_stream is None:
+        qkv_w, sao_w = dec.qkv.astype(dtype), dec.sa_out.astype(dtype)
+        ffp_w, ffo_w = dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype)
+        ones = lambda n: jnp.ones((c.dec_layers, n), jnp.float32)
+        qkv_s, sao_s = ones(3 * D), ones(D)
+        ffp_s, ffo_s = ones(c.d_ffn), ones(D)
+        stream_dtype = dtype
+    else:
+        s = int8_stream
+        qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
+        qkv_s, sao_s, ffp_s, ffo_s = s.qkv_s, s.sa_out_s, s.ff_proj_s, s.ff_out_s
+        stream_dtype = jnp.int8
+
+    posemb_row = jax.lax.dynamic_slice_in_dim(
+        dec.pos_emb.astype(jnp.float32), pos, 1, 0)  # [1, D]
+    norms = jnp.stack([dec.norm_self, dec.norm_xa_q, dec.norm_ff],
+                      axis=1).astype(jnp.float32)
+    scal = jnp.stack([pos.astype(jnp.int32), enc_length.astype(jnp.int32)])
+    temp_arr = temperature.astype(jnp.float32).reshape(1)
+    flags = jnp.stack([forbid_eos.astype(jnp.int32), seed.astype(jnp.int32)])
+    lt_pos = jnp.zeros((_SEQ, c.lt_dim), dtype).at[: c.lt_max_pos].set(
+        lt.pos_emb.astype(dtype)[:_SEQ])
+
+    n_cb = c.num_codebooks
+    grid = (n_cb + c.dec_layers,)
+
+    kernel = functools.partial(
+        _kernel, n_cb=n_cb, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
+        top_k=top_k, audio_bos_id=c.audio_bos_id, audio_eos_id=c.audio_eos_id,
+        n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
+        d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps, use_prng=not interpret)
+
+    const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
+    lt_blk = lambda *blk: pl.BlockSpec(
+        blk, lambda i: (jnp.minimum(i, n_cb - 1),) + tuple(0 for _ in blk[1:]))
+    dec_blk = lambda *blk: pl.BlockSpec(
+        blk, lambda i: (jnp.clip(i - n_cb, 0, c.dec_layers - 1),) +
+        tuple(0 for _ in blk[1:]))
+
+    sampled, argmax, hidden_out, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((1, n_cb), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n_cb), jnp.int32),
+                   jax.ShapeDtypeStruct((1, D), dtype),
+                   jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)),
+        in_specs=[
+            const(1, D),                       # hidden
+            const(1, D),                       # posemb row
+            const(D, c.lt_dim),                # lt in_proj_w
+            const(1, c.lt_dim),                # lt in_proj_b
+            const(_SEQ, c.lt_dim),             # lt pos emb
+            const(1, c.lt_dim),                # lt norm_self
+            const(c.lt_dim, 3 * c.lt_dim),     # lt qkv
+            const(c.lt_dim, c.lt_dim),         # lt sa_out
+            const(1, c.lt_dim),                # lt norm_ff
+            const(c.lt_dim, c.lt_ffn_dim),     # lt ff_proj
+            const(c.lt_ffn_dim, c.lt_dim),     # lt ff_out
+            lt_blk(1, c.lt_dim, c.vocab_per_cb),   # lt out_proj_w
+            lt_blk(1, 1, c.vocab_per_cb),          # lt out_proj_b
+            dec_blk(1, 3, D),                  # norms
+            const(1, D),                       # final norm
+            dec_blk(1, D, c.d_xa),             # xa_q
+            dec_blk(1, c.d_xa, D),             # xa_out
+            dec_blk(1, E, c.d_xa),             # xa_k
+            dec_blk(1, E, c.d_xa),             # xa_v
+            dec_blk(1, 1, 3 * D),              # qkv scales
+            dec_blk(1, 1, D),                  # sa_out scales
+            dec_blk(1, 1, c.d_ffn),            # ff_proj scales
+            dec_blk(1, 1, D),                  # ff_out scales
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # flags
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal
+            pl.BlockSpec(memory_space=pltpu.HBM),    # audio emb
+            pl.BlockSpec(memory_space=pltpu.HBM),    # qkv
+            pl.BlockSpec(memory_space=pltpu.HBM),    # sao
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ffp
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ffo
+            pl.BlockSpec(memory_space=pltpu.HBM),    # k cache in
+            pl.BlockSpec(memory_space=pltpu.HBM),    # v cache in
+        ],
+        out_specs=(pl.BlockSpec((1, n_cb), lambda i: (0, 0)),
+                   pl.BlockSpec((1, n_cb), lambda i: (0, 0)),
+                   pl.BlockSpec((1, D), lambda i: (0, 0)),
+                   pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
+        input_output_aliases={31: 3, 32: 4},   # caches update in place
+        scratch_shapes=[
+            pltpu.VMEM((_SEQ, c.lt_dim), dtype),       # LT seq buffer
+            pltpu.VMEM((16, D), dtype),                # embedding window
+            pltpu.VMEM((1, D), jnp.float32),           # embedding accumulator
+            pltpu.SMEM((n_cb,), jnp.int32),            # sampled codes
+            pltpu.SMEM((n_cb,), jnp.int32),            # argmax codes
+            pltpu.VMEM((1, D), jnp.float32),           # x carry
+            pltpu.VMEM((D, 3 * D), stream_dtype),      # qkv weights
+            pltpu.VMEM((D, D), stream_dtype),          # sa_out
+            pltpu.VMEM((D, c.d_ffn), stream_dtype),    # ff_proj
+            pltpu.VMEM((c.d_ffn, D), stream_dtype),    # ff_out
+            pltpu.VMEM((S, D), k_cache.dtype),         # k block
+            pltpu.VMEM((S, D), v_cache.dtype),         # v block
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(hidden.reshape(1, -1).astype(dtype), posemb_row,
+      lt.in_proj_w.astype(dtype), lt.in_proj_b.astype(dtype).reshape(1, -1),
+      lt_pos, lt.norm_self.astype(dtype).reshape(1, -1), lt.qkv.astype(dtype),
+      lt.sa_out.astype(dtype), lt.norm_ff.astype(dtype).reshape(1, -1),
+      lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),
+      lt.out_proj_w.astype(dtype),
+      lt.out_proj_b.astype(jnp.float32).reshape(-1, 1, lt.out_proj_b.shape[-1]),
+      norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
+      dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
+      xa_k.astype(dtype), xa_v.astype(dtype),
+      qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
+      temp_arr, flags, scal,
+      _pad_rows_to_16(weights.audio_emb.astype(dtype)),
+      qkv_w, sao_w, ffp_w, ffo_w, k_cache, v_cache)
+
+    return sampled[0], argmax[0], hidden_out[0], k_out, v_out

@@ -151,3 +151,35 @@ def test_decoder_step_int8_stream_matches_dequant_oracle(rng):
                                    enc_length=enc_len)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_fused_frame_step_matches_separate_kernels(rng):
+    """frame_step_pallas == sample_frame_codes_pallas + decode_step_pallas."""
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step import decode_step_pallas
+    from magpie_tts_tpu.ops.pallas_kernels.frame_step import frame_step_pallas
+
+    c = CONFIG
+    w = WEIGHTS
+    enc_len = jnp.int32(6)
+    tokens = jnp.asarray(rng.integers(2, c.text_vocab_size - 2, size=8), jnp.int32)
+    xa_k, xa_v, state = magpie_mod.prepare(tokens, enc_len, jnp.int32(0), w, c)
+
+    for forbid in (True, False):
+        s_f, a_f, h_f, kc_f, vc_f = frame_step_pallas(
+            state.hidden, state.pos, xa_k, xa_v, state.k_cache, state.v_cache,
+            w, c, jnp.int32(3), jnp.float32(0.0), 8, jnp.bool_(forbid),
+            enc_length=enc_len, interpret=True)
+        s_r, a_r = sample_frame_codes_pallas(
+            state.hidden, w, c, jnp.int32(3), jnp.float32(0.0), 8,
+            jnp.bool_(forbid), interpret=True)
+        emb = magpie_mod.audio_frame_embedding(s_r, w, c)
+        h_r, kc_r, vc_r = decode_step_pallas(
+            emb, state.pos, xa_k, xa_v, state.k_cache, state.v_cache, w, c,
+            enc_length=enc_len, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_r))
+        np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_r))
+        np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(kc_f), np.asarray(kc_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vc_f), np.asarray(vc_r), atol=1e-4)
