@@ -11,7 +11,7 @@ vs_baseline is relative to the reference C++ engine's published 154 fps
 graph-reuse number on RTX 4080 (reference README.md:74-81).
 
 Env knobs: BENCH_FRAMES (default 300), BENCH_DTYPE (float32|bfloat16, default
-bfloat16), BENCH_BATCH (extra batched-throughput measurement, default 8).
+bfloat16), BENCH_BATCH (extra batched-throughput measurement, default 16).
 """
 
 import dataclasses
@@ -34,7 +34,7 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     codec_pallas = os.environ.get("BENCH_CODEC_PALLAS")
     codec_pallas = None if codec_pallas is None else codec_pallas == "1"
