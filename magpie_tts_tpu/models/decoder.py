@@ -145,6 +145,29 @@ def decode_step(x: jnp.ndarray, pos: jnp.ndarray,
     pos: scalar int32 absolute position (also the cache write index);
     xa_k/xa_v: [L, enc_seq, d_xa]; caches: [L, max_seq, d_model].
     Returns (hidden [d_model], k_cache, v_cache).
+    """
+    max_seq = k_cache.shape[1]
+    return decode_step_masked(x, pos, pos, jnp.arange(max_seq) <= pos,
+                              xa_k, xa_v, k_cache, v_cache, weights, config,
+                              enc_length=enc_length)
+
+
+def decode_step_masked(x: jnp.ndarray, logical_pos: jnp.ndarray,
+                       write_row: jnp.ndarray, valid_mask: jnp.ndarray,
+                       xa_k: jnp.ndarray, xa_v: jnp.ndarray,
+                       k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                       weights: MagpieWeights, config: MagpieConfig,
+                       enc_length: Optional[jnp.ndarray] = None):
+    """Generalized decoder step: cache slot, position embedding, and attention
+    membership are decoupled.
+
+    ``logical_pos`` indexes the learned position-embedding table; ``write_row``
+    is the physical cache row the new K/V land in; ``valid_mask`` [max_seq]
+    marks the rows this step may attend to (it must include ``write_row``).
+    The standard path uses (pos, pos, arange <= pos); the continuous-batching
+    ring cache (parallel/continuous.py) uses a globally shared write row with
+    per-slot masks so batched cache updates stay dynamic_update_slice rather
+    than scatters.
 
     Layers are unrolled so each layer's cache-row write lowers to an in-place
     dynamic-update-slice on the donated cache buffers.
@@ -155,10 +178,10 @@ def decode_step(x: jnp.ndarray, pos: jnp.ndarray,
     n_heads = config.dec_sa_heads
     d_model = config.d_model
     d_head = d_model // n_heads
-    max_seq = k_cache.shape[1]
-    x = x + dec.pos_emb[pos]
+    pos = write_row
+    x = x + dec.pos_emb[logical_pos]
 
-    length_mask = (jnp.arange(max_seq) <= pos)[None, None, :]  # [1(H), 1(q), max_seq]
+    length_mask = valid_mask[None, None, :]  # [1(H), 1(q), max_seq]
 
     for l in range(config.dec_layers):
         h = layer_norm(x, dec.norm_self[l], config.eps)
