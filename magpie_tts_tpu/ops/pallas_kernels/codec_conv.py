@@ -33,8 +33,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(prev_ref, cur_ref, w_ref, b_ref, alpha_ref, mask_ref, o_ref,
-            win_ref, acc_ref, *, k: int, dilation: int, tile: int, halo: int,
-            apply_snake: bool, leaky_slope: float):
+            win_ref, cat_ref, *, k: int, dilation: int, tile: int, halo: int,
+            apply_snake: bool, leaky_slope: float, use_im2col: bool):
     i = pl.program_id(0)
 
     def activate(x):
@@ -61,12 +61,25 @@ def _kernel(prev_ref, cur_ref, w_ref, b_ref, alpha_ref, mask_ref, o_ref,
 
     win_ref[halo:, :] = activate(cur_ref[:, :])
 
-    acc_ref[:, :] = jnp.zeros_like(acc_ref)
-    for tap in range(k):
-        off = tap * dilation
-        acc_ref[:, :] += jnp.dot(win_ref[off: off + tile, :], w_ref[tap, :, :],
-                                 preferred_element_type=jnp.float32)
-    o_ref[:, :] = (acc_ref[:, :] + b_ref[0, :].astype(jnp.float32)).astype(o_ref.dtype)
+    cp_in = win_ref.shape[1]
+    if use_im2col:
+        # Wide channels: im2col along lanes — one deep [tile, k*C] @ [k*C, C_out]
+        # matmul pipelines the MXU better than k accumulated small dots.
+        for tap in range(k):
+            off = tap * dilation
+            cat_ref[:, tap * cp_in:(tap + 1) * cp_in] = win_ref[off: off + tile, :]
+        acc = jnp.dot(cat_ref[...], w_ref[...].reshape(k * cp_in, -1),
+                      preferred_element_type=jnp.float32)
+    else:
+        # Narrow (128-lane) channels: accumulated per-tap dots measure equal
+        # or better, without the im2col scratch traffic.
+        acc = jnp.dot(win_ref[0:tile, :], w_ref[0, :, :],
+                      preferred_element_type=jnp.float32)
+        for tap in range(1, k):
+            off = tap * dilation
+            acc = acc + jnp.dot(win_ref[off: off + tile, :], w_ref[tap, :, :],
+                                preferred_element_type=jnp.float32)
+    o_ref[:, :] = (acc + b_ref[0, :].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
@@ -93,10 +106,11 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     cp_out = _round_up(c_out, LANE)
     if tile is None:
         # Budget VMEM: weights k*cp_in*cp_out + window (tile+halo)*cp_in +
-        # acc/out ~ 6 * tile * cp. Aim ~12 MB total.
-        weight_bytes = k * cp_in * cp_out * x.dtype.itemsize
-        budget = 12 * 1024 * 1024 - weight_bytes
-        per_row = cp_in * x.dtype.itemsize * 2 + cp_out * (4 + x.dtype.itemsize) * 2
+        # im2col tile*k*cp_in + double-buffered in/out streams. Aim ~24 MB.
+        it = x.dtype.itemsize
+        weight_bytes = k * cp_in * cp_out * it
+        budget = 24 * 1024 * 1024 - weight_bytes
+        per_row = (cp_in * it * (k + 3) + cp_out * it * 2)
         tile = max(256, min(4096, _round_up(budget // max(per_row, 1) // 2, 256)))
     tile = max(tile, _round_up(halo, 8))
     tp = _round_up(max(T, 1), tile)
@@ -122,10 +136,12 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     alpha_full = alpha_full.reshape(1, cp_in)
     mask = mask.reshape(1, cp_in)
 
+    use_im2col = cp_in >= 256 and k > 1
     grid = (tp // tile,)
     kernel = functools.partial(
         _kernel, k=k, dilation=dilation, tile=tile, halo=halo,
-        apply_snake=apply_snake, leaky_slope=leaky_slope)
+        apply_snake=apply_snake, leaky_slope=leaky_slope,
+        use_im2col=use_im2col)
 
     out = pl.pallas_call(
         kernel,
@@ -142,7 +158,8 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         out_specs=pl.BlockSpec((tile, cp_out), lambda i: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((halo + tile, cp_in), x.dtype),
-            pltpu.VMEM((tile, cp_out), jnp.float32),
+            pltpu.VMEM((tile, k * cp_in) if use_im2col else (8, 128),
+                       x.dtype),                      # im2col window (or dummy)
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
