@@ -30,7 +30,9 @@ from ..models import codec as codec_mod
 from ..models import magpie as magpie_mod
 
 DEFAULT_TOKEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
-DEFAULT_FRAME_BUCKETS = (8, 16, 32, 64, 128, 256, 384, 512)
+# Minimum 32: vocoding a padded 32-frame bucket costs ~4ms on device, while
+# every extra bucket costs a full vocoder compile (tens of seconds cold).
+DEFAULT_FRAME_BUCKETS = (32, 64, 128, 256, 384, 512)
 
 
 def pick_bucket(buckets: Sequence[int], n: int) -> int:
@@ -158,6 +160,19 @@ class MagpieEngine:
         n = int(n_frames)
         return SynthesisResult(codes=np.asarray(codes[:n]), n_frames=n)
 
+    def warmup(self, *, token_buckets: Sequence[int] = None, top_k: int = 80,
+               streaming: bool = False) -> None:
+        """Pre-compile synthesis programs for the given (default: all) token
+        buckets so no request pays a compile."""
+        for bucket in (token_buckets or self.token_buckets):
+            tokens = [self.config.text_bos_id, self.config.text_eos_id]
+            tokens += [2] * (bucket - len(tokens))
+            if streaming:
+                stream = self.begin_stream(tokens)
+                self.decode_chunk(stream, n_frames=1, top_k=top_k)
+            else:
+                self.synthesize_codes(tokens, top_k=top_k, temperature=0.0)
+
     def begin_stream(self, token_ids: Sequence[int], *, speaker_id: int = 0):
         """Prefill for incremental decoding. Returns an opaque stream context."""
         tokens, enc_length, bucket = self._pad_tokens(token_ids)
@@ -225,6 +240,15 @@ class CodecEngine:
         padded[:n] = codes
         audio = self._decode_fn(bucket)(self.weights, jnp.asarray(padded.T))
         return np.asarray(audio[: n * self.config.hop_length], np.float32)
+
+    def warmup(self, buckets: Sequence[int] = None) -> None:
+        """Pre-compile the decode program for the given (default: all) buckets.
+
+        Serving deployments call this once at startup so no request pays a
+        vocoder compile (tens of seconds cold on TPU)."""
+        for bucket in (buckets or self.frame_buckets):
+            codes = jnp.zeros((self.config.num_codebooks, bucket), jnp.int32)
+            jax.block_until_ready(self._decode_fn(bucket)(self.weights, codes))
 
     def decode_with_context(self, codes: np.ndarray, n_context: int) -> np.ndarray:
         """Decode [context; new] frames, return only the new frames' samples.

@@ -146,3 +146,22 @@ def test_gguf_q8_weights_load(tmp_path):
     tokens = [config.text_bos_id, 1, 2, config.text_eos_id]
     result = engine.synthesize_codes(tokens, temperature=0.0)
     assert result.codes.shape[1] == 8
+
+
+def test_warmup_precompiles_buckets():
+    from tests.utils import tiny_magpie_config, tiny_codec_config
+    from magpie_tts_tpu.io.magpie_weights import random_magpie_weights
+    from magpie_tts_tpu.io.codec_weights import random_codec_weights
+    from magpie_tts_tpu.runtime.engine import CodecEngine, MagpieEngine
+
+    config = tiny_magpie_config()
+    eng = MagpieEngine(random_magpie_weights(config, seed=0), config,
+                       token_buckets=(16, 32))
+    eng.warmup()
+    assert {b for (b, k) in eng._synth_cache} >= {16, 32}
+
+    cc = tiny_codec_config()
+    codec = CodecEngine(random_codec_weights(cc, seed=0), cc,
+                        frame_buckets=(8, 16))
+    codec.warmup()
+    assert set(codec._decode_cache) == {8, 16}
