@@ -37,7 +37,99 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_serve_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="magpie-tts serve",
+        description="Continuous-batching TTS server: JSONL requests on stdin "
+                    "({\"id\", \"text\", optional \"speaker\"/\"seed\"} or plain "
+                    "text lines), one WAV per request, JSONL results on stdout.")
+    p.add_argument("-m", "--model", default="weights/magpie-357m-f32.gguf")
+    p.add_argument("-c", "--codec", default="weights/nano-codec-f32.gguf")
+    p.add_argument("--out-dir", default=".", help="directory for output WAVs")
+    p.add_argument("--slots", type=int, default=8, help="concurrent decode slots")
+    p.add_argument("--segment-frames", type=int, default=32,
+                   help="frames decoded per scheduler segment")
+    p.add_argument("--temp", type=float, default=0.7)
+    p.add_argument("--top-k", type=int, default=80)
+    p.add_argument("--dtype", choices=("float32", "bfloat16"), default="bfloat16")
+    p.add_argument("-q", "--quiet", action="store_true")
+    return p
+
+
+def serve(argv) -> int:
+    """Continuous-batching serving loop over stdin/stdout."""
+    import json
+    import os
+
+    args = build_serve_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from .config import MagpieConfig
+    from .io.codec_weights import load_codec_weights
+    from .io.magpie_weights import load_magpie_weights
+    from .io.native import open_gguf
+    from .io.wav import write_wav
+    from .parallel.continuous import ContinuousBatchingEngine
+    from .runtime.engine import CodecEngine
+    from .text.tokenizer import MagpieTokenizer
+
+    def log(msg):
+        if not args.quiet:
+            print(msg, file=sys.stderr)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    reader = open_gguf(args.model)
+    config, weights = load_magpie_weights(args.model, reader=reader)
+    tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
+    codec_config, codec_weights = load_codec_weights(args.codec)
+    engine = ContinuousBatchingEngine(
+        weights, config, n_slots=args.slots, compute_dtype=dtype,
+        segment_frames=args.segment_frames)
+    codec = CodecEngine(codec_weights, codec_config, compute_dtype=dtype)
+    log(f"serve: {args.slots} slots, segment={args.segment_frames} frames")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    names = {}
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("{"):
+            req = json.loads(line)
+        else:
+            req = {"text": line}
+        rid = engine.submit(tokenizer.encode(req["text"]),
+                            speaker_id=int(req.get("speaker", 0)),
+                            seed=int(req.get("seed", 0)))
+        names[rid] = str(req.get("id", rid))
+
+    n_done = 0
+    t0 = time.perf_counter()
+    total_frames = 0
+    while engine.pending:
+        finished = engine.step(temperature=args.temp, top_k=args.top_k)
+        for rid, codes in finished.items():
+            audio = codec.decode(codes)
+            path = os.path.join(args.out_dir, f"{names[rid]}.wav")
+            write_wav(path, audio, config.sample_rate)
+            total_frames += codes.shape[0]
+            n_done += 1
+            print(json.dumps({"id": names[rid], "wav": path,
+                              "frames": int(codes.shape[0]),
+                              "seconds": round(len(audio) / config.sample_rate, 3)}),
+                  flush=True)
+    dt = time.perf_counter() - t0
+    log(f"serve: {n_done} requests, {total_frames} frames in {dt:.2f}s "
+        f"({total_frames / dt:.0f} aggregate fps)" if dt > 0 else "serve: done")
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "serve":
+        return serve(argv[1:])
     args = build_parser().parse_args(argv)
 
     import jax.numpy as jnp

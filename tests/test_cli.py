@@ -63,3 +63,29 @@ def test_cli_stream_mode(model_paths, tmp_path):
     assert "time to first audio" in proc.stderr
     samples, _ = read_wav(out)
     assert len(samples) > 0
+
+
+def test_cli_serve_mode(model_paths, tmp_path):
+    import json
+
+    mpath, cpath = model_paths
+    out_dir = str(tmp_path / "serve_out")
+    requests = "\n".join([
+        json.dumps({"id": "a", "text": "hello world"}),
+        "plain text line request",
+        json.dumps({"id": "c", "text": "hello hello", "seed": 3}),
+    ])
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(Path(__file__).parent.parent)}
+    proc = subprocess.run(
+        [sys.executable, "-m", "magpie_tts_tpu.cli", "serve",
+         "-m", mpath, "-c", cpath, "--out-dir", out_dir, "--slots", "2",
+         "--segment-frames", "4", "--temp", "0", "--dtype", "float32", "-q"],
+        input=requests, capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stderr
+    results = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    assert {r["id"] for r in results} == {"a", "1", "c"}
+    for r in results:
+        samples, rate = read_wav(r["wav"])
+        assert samples.shape[0] == r["frames"] * 64  # tiny-config hop length
+        assert r["frames"] > 0
