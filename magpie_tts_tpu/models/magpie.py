@@ -235,12 +235,18 @@ def synthesize_codes_batched_program(
         tokens: jnp.ndarray, enc_lengths: jnp.ndarray, speaker_ids: jnp.ndarray,
         keys: jnp.ndarray, temperature: jnp.ndarray, weights: MagpieWeights,
         config: MagpieConfig, top_k: int,
-        max_steps: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        max_steps: Optional[int] = None,
+        use_pallas_decoder: Optional[bool] = None,
+        int8_stream=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lockstep batched synthesis: tokens [B, T] -> (codes [B, N, 8], n_frames [B]).
 
     Streams that hit EOS idle (their ``frame_idx``/``codes`` freeze) while the
     rest continue; the loop ends when every stream is done or at the budget.
+    On TPU the decoder step runs as one batched Pallas kernel
+    (ops/pallas_kernels/decoder_step_batched.py).
     """
+    if use_pallas_decoder is None:
+        use_pallas_decoder = use_pallas_default()
     max_steps = max_steps or config.max_dec_steps
     static_mask = sampling.forbidden_token_mask(
         config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)
@@ -283,9 +289,21 @@ def synthesize_codes_batched_program(
 
         emb = audio_frame_embedding(sampled, weights, config).astype(dtype)
         pos = jnp.int32(config.context_frames + 1) + s.step
-        hidden, k_cache, v_cache = jax.vmap(
-            step_one, in_axes=(0, None, 0, 0, 0, 0, 0)
-        )(emb, pos, xa_k, xa_v, s.k_cache, s.v_cache, enc_lengths)
+        if use_pallas_decoder:
+            from ..ops.pallas_kernels.decoder_step_batched import (
+                decode_step_batched_pallas)
+
+            B = emb.shape[0]
+            valid = (jnp.arange(config.max_seq)[None, :] <= pos) & \
+                jnp.ones((B, 1), bool)
+            x_pe = emb + weights.decoder.pos_emb[pos][None, :].astype(dtype)
+            hidden, k_cache, v_cache = decode_step_batched_pallas(
+                x_pe, pos, valid, xa_k, xa_v, s.k_cache, s.v_cache,
+                weights, config, enc_lengths, int8_stream=int8_stream)
+        else:
+            hidden, k_cache, v_cache = jax.vmap(
+                step_one, in_axes=(0, None, 0, 0, 0, 0, 0)
+            )(emb, pos, xa_k, xa_v, s.k_cache, s.v_cache, enc_lengths)
 
         return BatchedDecodeState(
             k_cache=k_cache, v_cache=v_cache, hidden=hidden,

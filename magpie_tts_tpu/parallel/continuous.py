@@ -196,15 +196,24 @@ class ContinuousBatchingEngine:
                         sampled, weights, config).astype(dtype)
                     lp = jnp.clip(logical_pos, 0, config.max_pos - 1)
 
-                    def step_one(x, pos, vm, xk, xv, kc, vc, el):
-                        return decoder_mod.decode_step_masked(
-                            x, pos, r, vm, xk, xv, kc, vc, weights, config,
-                            enc_length=el)
+                    if magpie_mod.use_pallas_default():
+                        from ..ops.pallas_kernels.decoder_step_batched import (
+                            decode_step_batched_pallas)
 
-                    hidden, k_cache, v_cache = jax.vmap(
-                        step_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
-                        emb, lp, valid, xa_k, xa_v, k_cache, v_cache,
-                        enc_lengths)
+                        x_pe = emb + weights.decoder.pos_emb[lp].astype(dtype)
+                        hidden, k_cache, v_cache = decode_step_batched_pallas(
+                            x_pe, r, valid, xa_k, xa_v, k_cache, v_cache,
+                            weights, config, enc_lengths)
+                    else:
+                        def step_one(x, pos, vm, xk, xv, kc, vc, el):
+                            return decoder_mod.decode_step_masked(
+                                x, pos, r, vm, xk, xv, kc, vc, weights, config,
+                                enc_length=el)
+
+                        hidden, k_cache, v_cache = jax.vmap(
+                            step_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+                            emb, lp, valid, xa_k, xa_v, k_cache, v_cache,
+                            enc_lengths)
                     logical_pos = logical_pos + counts.astype(jnp.int32)
                     return (k_cache, v_cache, hidden, valid, logical_pos,
                             frame_count, done, keys, codes_seg)

@@ -183,3 +183,43 @@ def test_fused_frame_step_matches_separate_kernels(rng):
                                    atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(kc_f), np.asarray(kc_r), atol=1e-4)
         np.testing.assert_allclose(np.asarray(vc_f), np.asarray(vc_r), atol=1e-4)
+
+
+def test_batched_decoder_step_matches_vmapped_masked(rng):
+    """Batched kernel (grouped cache streaming, shared write row, per-slot
+    masks) == vmapped decode_step_masked."""
+    from magpie_tts_tpu.models import decoder as decoder_mod
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step_batched import (
+        decode_step_batched_pallas)
+
+    c = CONFIG
+    w = WEIGHTS
+    B = 16  # two groups of 8
+    S = c.max_seq
+
+    tokens = jnp.asarray(rng.integers(2, 90, size=(B, 8)), jnp.int32)
+    enc_lens = jnp.asarray(rng.integers(4, 9, size=(B,)), jnp.int32)
+    xa_k, xa_v, st = jax.vmap(
+        lambda t, el: magpie_mod.prepare(t, el, jnp.int32(0), w, c))(
+        tokens, enc_lens)
+
+    pos = jnp.int32(c.context_frames + 1)
+    # Ring-style masks: different validity per slot (staggered starts).
+    starts = jnp.asarray(rng.integers(0, 3, size=(B, 1)), jnp.int32)
+    valid = (jnp.arange(S)[None, :] >= starts) & (jnp.arange(S)[None, :] <= pos)
+    x = jnp.asarray(rng.normal(0, 0.5, size=(B, c.d_model)), jnp.float32)
+    x_pe = x + w.decoder.pos_emb[pos][None, :]
+
+    h_ref, k_ref, v_ref = jax.vmap(
+        lambda xx, vm, xk, xv, kc, vc, el: decoder_mod.decode_step_masked(
+            xx, pos, pos, vm, xk, xv, kc, vc, w, c, enc_length=el),
+        in_axes=(0, 0, 0, 0, 0, 0, 0))(
+        x, valid, xa_k, xa_v, st.k_cache, st.v_cache, enc_lens)
+    h_got, k_got, v_got = decode_step_batched_pallas(
+        x_pe, pos, valid, xa_k, xa_v, st.k_cache, st.v_cache, w, c, enc_lens,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=2e-4)
