@@ -27,7 +27,8 @@ def batched_synthesize_program(tokens: jnp.ndarray, enc_lengths: jnp.ndarray,
                                speaker_ids: jnp.ndarray, keys: jnp.ndarray,
                                temperature: jnp.ndarray,
                                weights: MagpieWeights, config: MagpieConfig,
-                               top_k: int):
+                               top_k: int,
+                               use_pallas_decoder=None):
     """tokens: [B, T]; enc_lengths, speaker_ids: [B]; keys: [B, 2].
 
     Lockstep batched loop (models.magpie.synthesize_codes_batched_program):
@@ -36,7 +37,7 @@ def batched_synthesize_program(tokens: jnp.ndarray, enc_lengths: jnp.ndarray,
     """
     return magpie_mod.synthesize_codes_batched_program(
         tokens, enc_lengths, speaker_ids, keys, temperature, weights, config,
-        top_k=top_k)
+        top_k=top_k, use_pallas_decoder=use_pallas_decoder)
 
 
 class BatchedMagpieEngine:
@@ -64,11 +65,18 @@ class BatchedMagpieEngine:
         if fn is None:
             config = self.config
 
+            multi_device = self.mesh is not None and self.mesh.devices.size > 1
+
             def program(weights, tokens, enc_lengths, speaker_ids, keys,
                         temperature):
+                # The batched pallas step kernel is not partitionable by the
+                # SPMD partitioner; under a multi-device mesh the XLA step
+                # path runs instead (the partitioner shards it over data/model
+                # axes from the NamedSharding annotations).
                 return batched_synthesize_program(
                     tokens, enc_lengths, speaker_ids, keys, temperature,
-                    weights, config, top_k)
+                    weights, config, top_k,
+                    use_pallas_decoder=False if multi_device else None)
 
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from .mesh import magpie_weight_pspecs
