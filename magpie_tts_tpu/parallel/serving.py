@@ -66,11 +66,13 @@ class BatchedMagpieEngine:
             config = self.config
 
             multi_device = self.mesh is not None and self.mesh.devices.size > 1
+            n_model = (dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+                       [mesh_mod.MODEL_AXIS] if multi_device else 1)
 
             def program(weights, tokens, enc_lengths, speaker_ids, keys,
                         temperature):
                 # The batched pallas step kernel is not partitionable by the
-                # SPMD partitioner; under a multi-device mesh the XLA step
+                # SPMD partitioner; under a tensor-parallel mesh the XLA step
                 # path runs instead (the partitioner shards it over data/model
                 # axes from the NamedSharding annotations).
                 return batched_synthesize_program(
@@ -78,7 +80,26 @@ class BatchedMagpieEngine:
                     weights, config, top_k,
                     use_pallas_decoder=False if multi_device else None)
 
-            if self.mesh is not None and self.mesh.devices.size > 1:
+            if multi_device and n_model == 1:
+                # Pure data parallelism: shard_map over the data axis — every
+                # chip runs the whole (pallas-accelerated) program on its local
+                # batch slice; no collectives needed, and each shard's
+                # while_loop terminates on ITS OWN streams' EOS.
+                from jax.sharding import PartitionSpec as P
+                from jax.experimental.shard_map import shard_map
+
+                def local_program(weights, tokens, enc_lengths, speaker_ids,
+                                  keys, temperature):
+                    return batched_synthesize_program(
+                        tokens, enc_lengths, speaker_ids, keys, temperature,
+                        weights, config, top_k)
+
+                d = P(mesh_mod.DATA_AXIS)
+                fn = jax.jit(shard_map(
+                    local_program, mesh=self.mesh,
+                    in_specs=(P(), d, d, d, d, P()),
+                    out_specs=(d, d), check_rep=False))
+            elif multi_device:
                 from .mesh import magpie_weight_pspecs
                 from jax.sharding import NamedSharding
                 data_sh = mesh_mod.batch_sharding(self.mesh)
