@@ -86,7 +86,7 @@ class BatchedMagpieEngine:
                 # batch slice; no collectives needed, and each shard's
                 # while_loop terminates on ITS OWN streams' EOS.
                 from jax.sharding import PartitionSpec as P
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
 
                 def local_program(weights, tokens, enc_lengths, speaker_ids,
                                   keys, temperature):
