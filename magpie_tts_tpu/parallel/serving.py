@@ -98,7 +98,7 @@ class BatchedMagpieEngine:
                 fn = jax.jit(shard_map(
                     local_program, mesh=self.mesh,
                     in_specs=(P(), d, d, d, d, P()),
-                    out_specs=(d, d), check_rep=False))
+                    out_specs=(d, d), check_vma=False))
             elif multi_device:
                 from .mesh import magpie_weight_pspecs
                 from jax.sharding import NamedSharding
