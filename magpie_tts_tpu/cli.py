@@ -109,8 +109,8 @@ def serve(argv) -> int:
     total_frames = 0
     while engine.pending:
         finished = engine.step(temperature=args.temp, top_k=args.top_k)
-        for rid, codes in finished.items():
-            audio = codec.decode(codes)
+        audios = codec.decode_batch(list(finished.values()))
+        for (rid, codes), audio in zip(finished.items(), audios):
             path = os.path.join(args.out_dir, f"{names[rid]}.wav")
             write_wav(path, audio, config.sample_rate)
             total_frames += codes.shape[0]

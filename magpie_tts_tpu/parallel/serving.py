@@ -117,9 +117,9 @@ class BatchedMagpieEngine:
         return fn
 
     def synthesize_batch_audio(self, token_id_lists, codec_engine, **kwargs):
-        """Batched codes + per-utterance vocoding. Returns list of waveforms."""
+        """Batched codes + batched vocoding. Returns list of waveforms."""
         codes_list = self.synthesize_batch(token_id_lists, **kwargs)
-        return [codec_engine.decode(codes) for codes in codes_list]
+        return codec_engine.decode_batch(codes_list)
 
     def synthesize_batch(self, token_id_lists, *, speaker_ids=None,
                          temperature: float = 0.7, top_k: int = 80,

@@ -218,6 +218,7 @@ class CodecEngine:
         self.frame_buckets = tuple(frame_buckets)
         self.use_pallas = use_pallas
         self._decode_cache: Dict[int, object] = {}
+        self._decode_batch_cache: Dict[object, object] = {}
 
     def _decode_fn(self, bucket: int):
         fn = self._decode_cache.get(bucket)
@@ -240,6 +241,29 @@ class CodecEngine:
         padded[:n] = codes
         audio = self._decode_fn(bucket)(self.weights, jnp.asarray(padded.T))
         return np.asarray(audio[: n * self.config.hop_length], np.float32)
+
+    def decode_batch(self, codes_list) -> list:
+        """Vocode several utterances in one compiled call (padded to the
+        longest bucket). Returns a list of waveforms."""
+        if not codes_list:
+            return []
+        lens = [np.asarray(c).shape[0] for c in codes_list]
+        bucket = pick_bucket(self.frame_buckets, max(max(lens), 1))
+        B = len(codes_list)
+        padded = np.zeros((B, self.config.num_codebooks, bucket), np.int32)
+        for i, c in enumerate(codes_list):
+            padded[i, :, : lens[i]] = np.asarray(c, np.int32).T
+        fn = self._decode_batch_cache.get((B, bucket))
+        if fn is None:
+            config = self.config
+            use_pallas = self.use_pallas
+            fn = jax.jit(lambda weights, codes: jax.vmap(
+                lambda cc: codec_mod.codec_decode(cc, weights, config,
+                                                  use_pallas=use_pallas))(codes))
+            self._decode_batch_cache[(B, bucket)] = fn
+        audio = np.asarray(fn(self.weights, jnp.asarray(padded)))
+        hop = self.config.hop_length
+        return [audio[i, : lens[i] * hop].astype(np.float32) for i in range(B)]
 
     def warmup(self, buckets: Sequence[int] = None) -> None:
         """Pre-compile the decode program for the given (default: all) buckets.

@@ -165,3 +165,19 @@ def test_warmup_precompiles_buckets():
                         frame_buckets=(8, 16))
     codec.warmup()
     assert set(codec._decode_cache) == {8, 16}
+
+
+def test_codec_decode_batch_matches_single():
+    from tests.utils import tiny_codec_config
+    from magpie_tts_tpu.io.codec_weights import random_codec_weights
+    from magpie_tts_tpu.runtime.engine import CodecEngine
+
+    cc = tiny_codec_config()
+    codec = CodecEngine(random_codec_weights(cc, seed=0), cc, frame_buckets=(8, 16))
+    rng = np.random.default_rng(0)
+    codes = [rng.integers(0, 4000, size=(n, cc.num_codebooks)).astype(np.int32)
+             for n in (5, 9, 3)]
+    batch = codec.decode_batch(codes)
+    for c, got in zip(codes, batch):
+        want = codec.decode(c)
+        np.testing.assert_allclose(got, want, atol=2e-5)
