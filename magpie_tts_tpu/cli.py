@@ -168,8 +168,8 @@ def main(argv=None) -> int:
             top_k=args.top_k, seed=args.seed)
     elapsed = time.perf_counter() - t0
 
-    n_frames = len(samples) // pipeline.config.sample_rate * 0 + \
-        len(samples) // 1024
+    hop = pipeline.codec.config.hop_length if pipeline.codec else 1024
+    n_frames = len(samples) // hop
     fps = n_frames / elapsed if elapsed > 0 else 0.0
     rtf = (len(samples) / pipeline.config.sample_rate) / elapsed if elapsed else 0.0
     log(f"synthesized {n_frames} frames / {len(samples) / pipeline.config.sample_rate:.2f}s "

@@ -25,12 +25,23 @@ from . import local_transformer as lt_mod
 from .encoder import run_encoder
 
 
-def use_pallas_default() -> bool:
-    """Fused Pallas kernels on TPU-like backends, plain XLA elsewhere."""
+def pallas_shapes_ok(config: MagpieConfig) -> bool:
+    """The decode kernels DMA weight slabs whose minor dims must be 128-lane
+    multiples (Mosaic tiling). True for the production 357M config; tiny test
+    configs fall back to the XLA paths."""
+    return all(x % 128 == 0 for x in (config.d_model, config.d_ffn,
+                                      config.d_xa, config.lt_dim,
+                                      config.lt_ffn_dim))
+
+
+def use_pallas_default(config: Optional[MagpieConfig] = None) -> bool:
+    """Fused Pallas kernels on TPU-like backends (and kernel-compatible model
+    shapes), plain XLA elsewhere."""
     try:
-        return jax.devices()[0].platform in ("tpu", "axon")
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     except RuntimeError:
         return False
+    return on_tpu and (config is None or pallas_shapes_ok(config))
 
 
 def audio_frame_embedding(codes: jnp.ndarray, weights: MagpieWeights,
@@ -117,9 +128,9 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     """
     max_steps = max_steps or config.max_dec_steps
     if use_pallas_lt is None:
-        use_pallas_lt = use_pallas_default()
+        use_pallas_lt = use_pallas_default(config)
     if use_pallas_decoder is None:
-        use_pallas_decoder = use_pallas_default()
+        use_pallas_decoder = use_pallas_default(config)
     static_mask = sampling.forbidden_token_mask(
         config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)
     state = state._replace(key=key)
@@ -246,7 +257,7 @@ def synthesize_codes_batched_program(
     (ops/pallas_kernels/decoder_step_batched.py).
     """
     if use_pallas_decoder is None:
-        use_pallas_decoder = use_pallas_default()
+        use_pallas_decoder = use_pallas_default(config)
     max_steps = max_steps or config.max_dec_steps
     static_mask = sampling.forbidden_token_mask(
         config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)

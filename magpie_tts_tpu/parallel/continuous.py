@@ -196,7 +196,7 @@ class ContinuousBatchingEngine:
                         sampled, weights, config).astype(dtype)
                     lp = jnp.clip(logical_pos, 0, config.max_pos - 1)
 
-                    if magpie_mod.use_pallas_default():
+                    if magpie_mod.use_pallas_default(config):
                         from ..ops.pallas_kernels.decoder_step_batched import (
                             decode_step_batched_pallas)
 
