@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-int8", action="store_true",
                    help="stream decoder weights as per-column int8 (half the "
                         "per-frame HBM traffic; ~Q8 quantization error)")
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable the fused per-frame megakernel (LT sampling + "
+                        "decoder step in one pallas call); runs the separate "
+                        "kernels instead. Equivalent env var: MAGPIE_NO_FUSED")
     p.add_argument("-q", "--quiet", action="store_true",
                    help="only print the output filename")
     return p
@@ -147,7 +151,8 @@ def main(argv=None) -> int:
     log(f"loading model {args.model} + codec {args.codec} (dtype={args.dtype})...")
     t0 = time.perf_counter()
     pipeline = MagpiePipeline.from_gguf(args.model, args.codec, compute_dtype=dtype,
-                                        serve_int8=args.serve_int8)
+                                        serve_int8=args.serve_int8,
+                                        use_fused=False if args.no_fused else None)
     log(f"loaded in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()

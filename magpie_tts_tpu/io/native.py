@@ -25,13 +25,27 @@ _T_STRING = 8
 
 def _find_library() -> Optional[str]:
     here = os.path.dirname(os.path.abspath(__file__))
+    native_dir = os.path.join(here, "..", "..", "native")
     candidates = [
         os.environ.get("MAGPIE_GGUF_LIB", ""),
-        os.path.join(here, "..", "..", "native", "libmagpie_gguf.so"),
+        os.path.join(native_dir, "libmagpie_gguf.so"),
     ]
     for c in candidates:
         if c and os.path.exists(c):
             return os.path.abspath(c)
+    # The .so is a build artifact (not committed); build it on first use.
+    if (os.path.exists(os.path.join(native_dir, "Makefile"))
+            and os.environ.get("MAGPIE_BUILD_NATIVE", "1") != "0"):
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", native_dir],
+                           capture_output=True, timeout=120, check=True)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        so = os.path.join(native_dir, "libmagpie_gguf.so")
+        if os.path.exists(so):
+            return os.path.abspath(so)
     return None
 
 

@@ -12,6 +12,7 @@ three jittable stages:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -115,6 +116,7 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
                 target_frames: Optional[jnp.ndarray] = None,
                 use_pallas_lt: Optional[bool] = None,
                 use_pallas_decoder: Optional[bool] = None,
+                use_fused: Optional[bool] = None,
                 int8_stream=None) -> DecodeState:
     """Run the autoregressive loop fully on device.
 
@@ -125,12 +127,18 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     ``target_frames`` (traced) bounds the loop for incremental/streaming decode:
     the loop stops once ``frame_idx`` reaches it, preserving all state so a later
     call can continue.
+
+    ``use_fused`` selects the single fused frame megakernel when both pallas
+    paths are enabled (default True; the MAGPIE_NO_FUSED env var flips the
+    default for debugging, mirrored by the CLI --no-fused flag).
     """
     max_steps = max_steps or config.max_dec_steps
     if use_pallas_lt is None:
         use_pallas_lt = use_pallas_default(config)
     if use_pallas_decoder is None:
         use_pallas_decoder = use_pallas_default(config)
+    if use_fused is None:
+        use_fused = not os.environ.get("MAGPIE_NO_FUSED")
     static_mask = sampling.forbidden_token_mask(
         config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)
     state = state._replace(key=key)
@@ -145,9 +153,7 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     def body(s: DecodeState) -> DecodeState:
         forbid_eos = s.frame_idx < config.min_generated_frames
         key, subkey = jax.random.split(s.key)
-        import os as _os
-        if (use_pallas_lt and use_pallas_decoder
-                and not _os.environ.get("MAGPIE_NO_FUSED")):
+        if use_pallas_lt and use_pallas_decoder and use_fused:
             # Fully fused frame: LT sampling + embedding + 12 decoder layers in
             # ONE kernel — the LT compute hides under the decoder weight DMAs.
             from ..ops.pallas_kernels.frame_step import frame_step_pallas
@@ -210,6 +216,7 @@ def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
                              max_steps: Optional[int] = None,
                              use_pallas_lt: Optional[bool] = None,
                              use_pallas_decoder: Optional[bool] = None,
+                             use_fused: Optional[bool] = None,
                              int8_stream=None):
     """The full single-utterance synthesis program (jit target).
 
@@ -220,6 +227,7 @@ def synthesize_codes_program(tokens: jnp.ndarray, enc_length: jnp.ndarray,
                         key, temperature, top_k, max_steps,
                         use_pallas_lt=use_pallas_lt,
                         use_pallas_decoder=use_pallas_decoder,
+                        use_fused=use_fused,
                         int8_stream=int8_stream)
     return state.codes, state.frame_idx
 

@@ -91,9 +91,15 @@ def magpie_weight_pspecs(config: MagpieConfig) -> MagpieWeights:
     )
 
 
-def shard_weights(weights: MagpieWeights, mesh: Mesh) -> MagpieWeights:
-    """Place weights on the mesh with tensor-parallel shardings."""
-    specs = magpie_weight_pspecs(MagpieConfig())
+def shard_weights(weights: MagpieWeights, mesh: Mesh,
+                  config: Optional[MagpieConfig] = None) -> MagpieWeights:
+    """Place weights on the mesh with tensor-parallel shardings.
+
+    ``config`` should be the weights' own config; today the pspecs are
+    shape-independent so the default is equivalent, but callers must not rely
+    on that staying true.
+    """
+    specs = magpie_weight_pspecs(config if config is not None else MagpieConfig())
     return jax.tree.map(
         lambda w, spec: jax.device_put(w, NamedSharding(mesh, spec)),
         weights, specs)

@@ -54,7 +54,7 @@ class BatchedMagpieEngine:
         dtype = jnp.dtype(compute_dtype)
         weights = weights if weights.text_emb.dtype == dtype else weights.astype(dtype)
         if mesh is not None and mesh.devices.size > 1:
-            self.weights = mesh_mod.shard_weights(weights, mesh)
+            self.weights = mesh_mod.shard_weights(weights, mesh, config)
         else:
             self.weights = weights
         self._cache = {}

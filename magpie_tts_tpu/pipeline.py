@@ -28,14 +28,15 @@ class MagpiePipeline:
     @classmethod
     def from_gguf(cls, model_path: str, codec_path: Optional[str] = None,
                   compute_dtype=jnp.float32,
-                  serve_int8: bool = False) -> "MagpiePipeline":
+                  serve_int8: bool = False,
+                  use_fused: Optional[bool] = None) -> "MagpiePipeline":
         from .io.native import open_gguf
 
         reader = open_gguf(model_path)
         config, weights = load_magpie_weights(model_path, reader=reader)
         tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
         engine = MagpieEngine(weights, config, compute_dtype=compute_dtype,
-                              serve_int8=serve_int8)
+                              serve_int8=serve_int8, use_fused=use_fused)
         codec = None
         if codec_path:
             codec_config, codec_weights = load_codec_weights(codec_path)

@@ -59,6 +59,7 @@ class MagpieEngine:
         token_buckets: Sequence[int] = DEFAULT_TOKEN_BUCKETS,
         use_pallas_lt: bool = None,
         use_pallas_decoder: bool = None,
+        use_fused: bool = None,
         serve_int8: bool = False,
     ):
         self.config = config
@@ -68,6 +69,9 @@ class MagpieEngine:
         self.token_buckets = tuple(token_buckets)
         self.use_pallas_lt = use_pallas_lt
         self.use_pallas_decoder = use_pallas_decoder
+        # None -> fused frame megakernel when both pallas paths are on
+        # (debug override: MAGPIE_NO_FUSED env var / CLI --no-fused).
+        self.use_fused = use_fused
         # Serving-quantized int8 copies of the streamed decoder matrices (half
         # the per-frame HBM weight traffic; pallas decoder path only).
         self.int8_stream = None
@@ -76,6 +80,7 @@ class MagpieEngine:
 
             self.int8_stream = quantize_decoder_stream(self.weights.decoder)
         self._synth_cache: Dict[Tuple[int, int], object] = {}
+        self._prepare_cache: Dict[int, object] = {}
         self._chunk_cache: Dict[Tuple[int, int], object] = {}
 
     # ---- compiled program management -------------------------------------
@@ -90,13 +95,14 @@ class MagpieEngine:
             # as constants into the compiled program.
             use_pallas_lt = self.use_pallas_lt
             use_pallas_decoder = self.use_pallas_decoder
+            use_fused = self.use_fused
 
             def program(weights, int8_stream, tokens, enc_length, speaker_id,
                         rng_key, temperature):
                 return magpie_mod.synthesize_codes_program(
                     tokens, enc_length, speaker_id, rng_key, temperature,
                     weights, config, top_k=top_k, use_pallas_lt=use_pallas_lt,
-                    use_pallas_decoder=use_pallas_decoder,
+                    use_pallas_decoder=use_pallas_decoder, use_fused=use_fused,
                     int8_stream=int8_stream)
 
             fn = jax.jit(program)
@@ -104,8 +110,7 @@ class MagpieEngine:
         return fn
 
     def _prepare_fn(self, bucket: int):
-        key = (bucket, -1)
-        fn = self._synth_cache.get(key)
+        fn = self._prepare_cache.get(bucket)
         if fn is None:
             config = self.config
 
@@ -114,7 +119,7 @@ class MagpieEngine:
                                           weights, config)
 
             fn = jax.jit(program)
-            self._synth_cache[key] = fn
+            self._prepare_cache[bucket] = fn
         return fn
 
     def _chunk_fn(self, bucket: int, top_k: int):
@@ -125,6 +130,7 @@ class MagpieEngine:
 
             use_pallas_lt = self.use_pallas_lt
             use_pallas_decoder = self.use_pallas_decoder
+            use_fused = self.use_fused
 
             def program(weights, int8_stream, xa_k, xa_v, state, enc_length,
                         rng_key, temperature, target_frames):
@@ -132,7 +138,7 @@ class MagpieEngine:
                     xa_k, xa_v, state, enc_length, weights, config,
                     rng_key, temperature, top_k, target_frames=target_frames,
                     use_pallas_lt=use_pallas_lt,
-                    use_pallas_decoder=use_pallas_decoder,
+                    use_pallas_decoder=use_pallas_decoder, use_fused=use_fused,
                     int8_stream=int8_stream)
 
             fn = jax.jit(program, donate_argnums=(4,))

@@ -14,9 +14,14 @@ from tests.utils import tiny_magpie_config
 CONFIG = tiny_magpie_config()
 WEIGHTS = random_magpie_weights(CONFIG, seed=11)
 
+# These tests exercise real multi-device shardings; skip (not fail) on any
+# topology that doesn't expose the expected 8 devices.
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) != 8,
+    reason="multi-device tests expect the 8-device virtual CPU platform")
+
 
 def test_mesh_creation():
-    assert len(jax.devices()) == 8, "tests expect the 8-device virtual CPU"
     mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
     assert mesh.shape == {"data": 4, "model": 2}
 
