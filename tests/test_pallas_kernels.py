@@ -185,6 +185,118 @@ def test_fused_frame_step_matches_separate_kernels(rng):
         np.testing.assert_allclose(np.asarray(vc_f), np.asarray(vc_r), atol=1e-4)
 
 
+# ---- production-shape (357M config) kernel tests ---------------------------
+#
+# The kernels' DMA slab layout and Mosaic tiling constraints are shape-
+# dependent; tiny-config tests alone let a 357M-only lowering bug ship in
+# round 1 (fixed in commit 361ea17). One interpret-mode step per kernel at
+# the full production dims pins those code paths on CPU.
+
+
+@pytest.fixture(scope="module")
+def prod():
+    from magpie_tts_tpu.config import MagpieConfig
+
+    c = MagpieConfig()
+    w = random_magpie_weights(c, seed=3)
+    return c, w
+
+
+def _prod_step_inputs(rng, c, batch=None):
+    E = 64
+    shape = lambda *s: s if batch is None else (batch,) + s
+    xa_k = jnp.asarray(rng.normal(0, 0.3, size=shape(c.dec_layers, E, c.d_xa))
+                       .astype(np.float32))
+    xa_v = jnp.asarray(rng.normal(0, 0.3, size=shape(c.dec_layers, E, c.d_xa))
+                       .astype(np.float32))
+    k_cache = jnp.asarray(
+        rng.normal(0, 0.3, size=shape(c.dec_layers, c.max_seq, c.d_model))
+        .astype(np.float32))
+    v_cache = jnp.asarray(
+        rng.normal(0, 0.3, size=shape(c.dec_layers, c.max_seq, c.d_model))
+        .astype(np.float32))
+    enc_len = jnp.int32(50)
+    pos = jnp.int32(c.context_frames + 40)
+    return xa_k, xa_v, k_cache, v_cache, enc_len, pos
+
+
+def test_prod_decode_step_interpret(rng, prod):
+    from magpie_tts_tpu.models import decoder as decoder_mod
+    from magpie_tts_tpu.models.magpie import pallas_shapes_ok
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step import decode_step_pallas
+
+    c, w = prod
+    assert pallas_shapes_ok(c), "production config must take the pallas path"
+    xa_k, xa_v, k_cache, v_cache, enc_len, pos = _prod_step_inputs(rng, c)
+    emb = jnp.asarray(rng.normal(0, 0.3, size=(c.d_model,)).astype(np.float32))
+
+    h_got, k_got, v_got = decode_step_pallas(
+        emb, pos, xa_k, xa_v, k_cache, v_cache, w, c, enc_length=enc_len,
+        interpret=True)
+    h_ref, k_ref, v_ref = decoder_mod.decode_step(
+        emb, pos, xa_k, xa_v, k_cache, v_cache, w, c, enc_length=enc_len)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
+                               atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
+
+
+def test_prod_frame_step_interpret(rng, prod):
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step import decode_step_pallas
+    from magpie_tts_tpu.ops.pallas_kernels.frame_step import frame_step_pallas
+    from magpie_tts_tpu.models import magpie as magpie_mod
+
+    c, w = prod
+    xa_k, xa_v, k_cache, v_cache, enc_len, pos = _prod_step_inputs(rng, c)
+    hidden = jnp.asarray(rng.normal(0, 0.5, size=(c.d_model,)).astype(np.float32))
+
+    s_f, a_f, h_f, kc_f, vc_f = frame_step_pallas(
+        hidden, pos, xa_k, xa_v, k_cache, v_cache, w, c,
+        jnp.int32(7), jnp.float32(0.0), 80, jnp.bool_(False),
+        enc_length=enc_len, interpret=True)
+    s_r, a_r = sample_frame_codes_pallas(
+        hidden, w, c, jnp.int32(7), jnp.float32(0.0), 80, jnp.bool_(False),
+        interpret=True)
+    emb = magpie_mod.audio_frame_embedding(s_r, w, c)
+    h_r, kc_r, vc_r = decode_step_pallas(
+        emb, pos, xa_k, xa_v, k_cache, v_cache, w, c, enc_length=enc_len,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_r))
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_r))
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r),
+                               atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(kc_f), np.asarray(kc_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vc_f), np.asarray(vc_r), atol=1e-3)
+
+
+def test_prod_batched_decoder_step_interpret(rng, prod):
+    from magpie_tts_tpu.models import decoder as decoder_mod
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step_batched import (
+        decode_step_batched_pallas)
+
+    c, w = prod
+    B = 8
+    xa_k, xa_v, k_cache, v_cache, enc_len, pos = _prod_step_inputs(rng, c,
+                                                                   batch=B)
+    enc_lens = jnp.full((B,), 50, jnp.int32)
+    valid = (jnp.arange(c.max_seq)[None, :] <= pos) & jnp.ones((B, 1), bool)
+    x = jnp.asarray(rng.normal(0, 0.3, size=(B, c.d_model)).astype(np.float32))
+    x_pe = x + w.decoder.pos_emb[pos][None, :]
+
+    h_got, k_got, v_got = decode_step_batched_pallas(
+        x_pe, pos, valid, xa_k, xa_v, k_cache, v_cache, w, c, enc_lens,
+        interpret=True)
+    h_ref, k_ref, v_ref = jax.vmap(
+        lambda xx, vm, xk, xv, kc, vc, el: decoder_mod.decode_step_masked(
+            xx, pos, pos, vm, xk, xv, kc, vc, w, c, enc_length=el),
+        in_axes=(0, 0, 0, 0, 0, 0, 0))(
+        x, valid, xa_k, xa_v, k_cache, v_cache, enc_lens)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
+                               atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
+
+
 def test_batched_decoder_step_matches_vmapped_masked(rng):
     """Batched kernel (grouped cache streaming, shared write row, per-slot
     masks) == vmapped decode_step_masked."""
