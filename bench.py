@@ -84,6 +84,37 @@ def main():
               f"{fps:.1f} fps ({fps / 21.5:.1f}x real-time), "
               f"audio {len(audio) / 22050:.2f}s", file=sys.stderr)
 
+    # Streaming latency: time-to-first-audio and realtime factor (post-warmup).
+    # Reference baselines: TTFA 165-193ms, RTF 1.4-3.3x (docs/STATUS.md:280-284).
+    ttfa_ms = 0.0
+    streaming_rtf = 0.0
+    try:
+        from magpie_tts_tpu.runtime.streaming import StreamParams, stream_sentence
+
+        params = StreamParams(temperature=0.7, top_k=80, frames_per_chunk=4)
+        # Warm the prefill/chunk/vocoder programs for this bucket.
+        stream = engine.begin_stream(tokens)
+        engine.decode_chunk(stream, n_frames=4, top_k=80)
+        # First chunk vocodes 4 frames (bucket 32); later chunks carry 32
+        # context frames (bucket 64).
+        codec.warmup(buckets=(32, 64))
+
+        t0 = time.perf_counter()
+        first = None
+        n_samples = 0
+        for chunk in stream_sentence(engine, codec, tokens, params):
+            if first is None:
+                first = time.perf_counter() - t0
+            n_samples += len(chunk.samples)
+        dt = time.perf_counter() - t0
+        ttfa_ms = (first or 0.0) * 1000.0
+        streaming_rtf = (n_samples / 22050.0) / dt if dt > 0 else 0.0
+        print(f"bench: streaming: TTFA {ttfa_ms:.0f} ms, "
+              f"RTF {streaming_rtf:.1f}x ({n_samples / 22050.0:.2f}s audio "
+              f"in {dt:.2f}s)", file=sys.stderr)
+    except Exception as e:  # never break the headline metric
+        print(f"bench: streaming bench failed: {e}", file=sys.stderr)
+
     # Batched throughput (aggregate fps across a fixed batch, single chip)
     agg_fps = 0.0
     if batch > 1:
@@ -119,6 +150,8 @@ def main():
             "compile_seconds": round(compile_time, 1),
             "batched_aggregate_fps": round(agg_fps, 1),
             "batch": batch,
+            "ttfa_ms": round(ttfa_ms, 1),
+            "streaming_rtf": round(streaming_rtf, 2),
         },
     }))
 

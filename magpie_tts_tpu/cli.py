@@ -82,6 +82,9 @@ def serve(argv) -> int:
         if not args.quiet:
             print(msg, file=sys.stderr)
 
+    from .runtime.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     reader = open_gguf(args.model)
     config, weights = load_magpie_weights(args.model, reader=reader)
@@ -141,7 +144,10 @@ def main(argv=None) -> int:
 
     from .io.wav import write_wav
     from .pipeline import MagpiePipeline
+    from .runtime.platform import enable_compilation_cache
     from .runtime.streaming import StreamParams
+
+    enable_compilation_cache()
 
     def log(msg: str):
         if not args.quiet:

@@ -27,6 +27,7 @@ from ..ops.attention import (cross_attention, mha_full,
                              precompute_cross_attention_kv)
 from ..ops.conv_ffn import conv_ffn, conv_ffn_step
 from ..ops.norms import layer_norm
+from ..ops.precision import DOT_PRECISION
 
 
 def precompute_xa_kv(enc_out: jnp.ndarray, dec: DecoderWeights,
@@ -104,7 +105,8 @@ def prefill(context: jnp.ndarray, xa_k: jnp.ndarray, xa_v: jnp.ndarray,
          norm_ff, ff_proj, ff_out, xk, xv) = w
         h = layer_norm(x, norm_self, config.eps)
         qkv = jnp.einsum("sd,df->sf", h, qkv_w,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+                         preferred_element_type=jnp.float32,
+                         precision=DOT_PRECISION).astype(x.dtype)
         q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
 
         d_head = config.d_model // config.dec_sa_heads
@@ -117,7 +119,8 @@ def prefill(context: jnp.ndarray, xa_k: jnp.ndarray, xa_v: jnp.ndarray,
         attn = attend(qh, kh, vh, mask)
         attn = jnp.swapaxes(attn, 0, 1).reshape(t_ctx, config.d_model)
         x = x + jnp.einsum("sf,fd->sd", attn, sa_out,
-                           preferred_element_type=jnp.float32).astype(x.dtype)
+                           preferred_element_type=jnp.float32,
+                           precision=DOT_PRECISION).astype(x.dtype)
 
         qn = layer_norm(x, norm_xa_q, config.eps)
         x = x + cross_attention(qn, xk, xv, xa_q_w, xa_out_w, config.dec_xa_heads,
@@ -171,6 +174,12 @@ def decode_step_masked(x: jnp.ndarray, logical_pos: jnp.ndarray,
 
     Layers are unrolled so each layer's cache-row write lowers to an in-place
     dynamic-update-slice on the donated cache buffers.
+
+    Numerics mirror the fused Pallas decode kernels exactly at every rounding
+    point (the temp=0 parity bar): the residual carry stays float32, layer
+    inputs round to the weight dtype before each matmul, matmuls accumulate in
+    f32 at DOT_PRECISION, and attention probabilities round to the weight
+    dtype (as the kernels' MXU layout does).
     """
     from ..ops.attention import attend, _split_heads
 
@@ -179,13 +188,15 @@ def decode_step_masked(x: jnp.ndarray, logical_pos: jnp.ndarray,
     d_model = config.d_model
     d_head = d_model // n_heads
     pos = write_row
-    x = x + dec.pos_emb[logical_pos]
+    wdt = x.dtype
+    xf = (x + dec.pos_emb[logical_pos]).astype(jnp.float32)
 
     length_mask = valid_mask[None, None, :]  # [1(H), 1(q), max_seq]
 
     for l in range(config.dec_layers):
-        h = layer_norm(x, dec.norm_self[l], config.eps)
-        qkv = (h @ dec.qkv[l]).astype(x.dtype)
+        h = layer_norm(xf, dec.norm_self[l], config.eps).astype(wdt)
+        qkv = jnp.dot(h, dec.qkv[l], preferred_element_type=jnp.float32,
+                      precision=DOT_PRECISION).astype(wdt)
         q, k_new, v_new = qkv[:d_model], qkv[d_model:2 * d_model], qkv[2 * d_model:]
 
         # Single-row cache writes: lowered to in-place updates on donated buffers.
@@ -195,17 +206,22 @@ def decode_step_masked(x: jnp.ndarray, logical_pos: jnp.ndarray,
             v_cache, v_new.astype(v_cache.dtype)[None, None, :], (l, pos, 0))
 
         qh = q.reshape(n_heads, 1, d_head)
-        kh = _split_heads(k_cache[l].astype(x.dtype), n_heads)  # [H, max_seq, Dh]
-        vh = _split_heads(v_cache[l].astype(x.dtype), n_heads)
+        kh = _split_heads(k_cache[l].astype(wdt), n_heads)  # [H, max_seq, Dh]
+        vh = _split_heads(v_cache[l].astype(wdt), n_heads)
         attn = attend(qh, kh, vh, length_mask).reshape(d_model)
-        x = x + (attn @ dec.sa_out[l]).astype(x.dtype)
+        xf = xf + jnp.dot(attn, dec.sa_out[l],
+                          preferred_element_type=jnp.float32,
+                          precision=DOT_PRECISION)
 
-        q = layer_norm(x, dec.norm_xa_q[l], config.eps)
-        x = x + cross_attention(q[None, :], xa_k[l], xa_v[l], dec.xa_q[l],
-                                dec.xa_out[l], config.dec_xa_heads,
-                                enc_length=enc_length)[0]
+        q = layer_norm(xf, dec.norm_xa_q[l], config.eps).astype(wdt)
+        xf = xf + cross_attention(q[None, :], xa_k[l], xa_v[l], dec.xa_q[l],
+                                  dec.xa_out[l], config.dec_xa_heads,
+                                  enc_length=enc_length,
+                                  out_dtype=jnp.float32)[0]
 
-        h = layer_norm(x, dec.norm_ff[l], config.eps)
-        x = x + conv_ffn_step(h, dec.ff_proj[l], dec.ff_out[l])
+        h = layer_norm(xf, dec.norm_ff[l], config.eps).astype(wdt)
+        xf = xf + conv_ffn_step(h, dec.ff_proj[l], dec.ff_out[l],
+                                out_dtype=jnp.float32)
 
-    return layer_norm(x, dec.norm_out, config.eps), k_cache, v_cache
+    return (layer_norm(xf, dec.norm_out, config.eps).astype(wdt),
+            k_cache, v_cache)

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 from ..config import MagpieConfig
 from ..io.magpie_weights import LocalTransformerWeights, MagpieWeights
 from ..ops.attention import mha_full
-from ..ops.conv_ffn import conv_ffn
+from ..ops.conv_ffn import conv_ffn, gelu
 from ..ops.norms import layer_norm
+from ..ops.precision import DOT_PRECISION
 from ..ops import sampling
 
 _MAX_SEQ = 9  # decoder hidden + up to 8 code embeddings
@@ -50,6 +51,54 @@ def lt_hidden_for_position(seq_buf: jnp.ndarray, lt: LocalTransformerWeights,
     return out[position]
 
 
+def _in_proj(x: jnp.ndarray, lt: LocalTransformerWeights, wdt) -> jnp.ndarray:
+    """768 -> lt_dim projection with f32 bias add, rounded to the weight dtype
+    (the kernels' rounding point, ops/pallas_kernels/lt_sampler.py)."""
+    p = jnp.dot(x, lt.in_proj_w, preferred_element_type=jnp.float32,
+                precision=DOT_PRECISION) + lt.in_proj_b.astype(jnp.float32)
+    return p.astype(wdt)
+
+
+def _lt_layer_f32(seq_buf: jnp.ndarray, lt: LocalTransformerWeights,
+                  config: MagpieConfig) -> jnp.ndarray:
+    """The LT layer with the kernel's exact rounding points: float32 residual
+    carry, inputs rounded to the weight dtype before each matmul, f32
+    accumulation, probabilities rounded to the weight dtype.
+
+    Mirrors ops/pallas_kernels/lt_sampler.py:_kernel so the XLA path and the
+    fused kernel produce identical temp=0 codes.
+    """
+    wdt = seq_buf.dtype
+    x = seq_buf.astype(jnp.float32) + lt.pos_emb[:_MAX_SEQ].astype(jnp.float32)
+    h = layer_norm(x, lt.norm_self, config.eps).astype(wdt)
+    qkv = jnp.dot(h, lt.qkv, preferred_element_type=jnp.float32,
+                  precision=DOT_PRECISION)
+    d = config.lt_dim
+    q = qkv[:, :d].astype(wdt)
+    k = qkv[:, d:2 * d].astype(wdt)
+    v = qkv[:, 2 * d:].astype(wdt)
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))  # single head, d_head = lt_dim
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                     precision=DOT_PRECISION) * scale
+    idx = jnp.arange(_MAX_SEQ)
+    scores = jnp.where(idx[None, :] <= idx[:, None], scores, sampling.NEG_INF)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(wdt)
+    attn = jnp.dot(probs, v, preferred_element_type=jnp.float32,
+                   precision=DOT_PRECISION)
+    x = x + jnp.dot(attn.astype(wdt), lt.sa_out,
+                    preferred_element_type=jnp.float32,
+                    precision=DOT_PRECISION)
+    h2 = layer_norm(x, lt.norm_ff, config.eps).astype(wdt)
+    ff = jnp.dot(h2, lt.ff_proj, preferred_element_type=jnp.float32,
+                 precision=DOT_PRECISION)
+    ff = gelu(ff).astype(wdt)
+    x = x + jnp.dot(ff, lt.ff_out, preferred_element_type=jnp.float32,
+                    precision=DOT_PRECISION)
+    return x  # float32 [_MAX_SEQ, lt_dim]
+
+
 def sample_frame_codes(
     decoder_hidden: jnp.ndarray,
     weights: MagpieWeights,
@@ -63,10 +112,10 @@ def sample_frame_codes(
     """decoder_hidden: [d_model] -> (sampled [8], argmax [8]) int32 codes."""
     lt = weights.lt
     n_cb = config.num_codebooks
+    wdt = decoder_hidden.dtype
 
-    proj0 = (decoder_hidden @ lt.in_proj_w + lt.in_proj_b).astype(decoder_hidden.dtype)
-    seq_buf = jnp.zeros((_MAX_SEQ, config.lt_dim), dtype=decoder_hidden.dtype)
-    seq_buf = seq_buf.at[0].set(proj0)
+    seq_buf = jnp.zeros((_MAX_SEQ, config.lt_dim), dtype=wdt)
+    seq_buf = seq_buf.at[0].set(_in_proj(decoder_hidden, lt, wdt))
 
     # Statically unrolled over the 8 codebooks: all per-codebook weight indexing
     # (out_proj heads, audio embedding tables) resolves to static slices, which
@@ -74,8 +123,11 @@ def sample_frame_codes(
     sampled = []
     argmaxed = []
     for cb in range(n_cb):
-        hidden = lt_hidden_for_position(seq_buf, lt, config, cb)
-        logits = (hidden @ lt.out_proj_w[cb] + lt.out_proj_b[cb]).astype(jnp.float32)
+        hidden = _lt_layer_f32(seq_buf, lt, config)[cb]
+        logits = jnp.dot(hidden.astype(wdt), lt.out_proj_w[cb],
+                         preferred_element_type=jnp.float32,
+                         precision=DOT_PRECISION
+                         ) + lt.out_proj_b[cb].astype(jnp.float32)
         logits = sampling.mask_logits(logits, static_forbidden_mask, forbid_eos,
                                       config.audio_eos_id)
         key, subkey = jax.random.split(key)
@@ -87,7 +139,6 @@ def sample_frame_codes(
         # and append (magpie.cpp:1274-1313).
         if cb < n_cb - 1:
             emb = weights.audio_emb[cb, code]
-            proj = (emb @ lt.in_proj_w + lt.in_proj_b).astype(seq_buf.dtype)
-            seq_buf = seq_buf.at[cb + 1].set(proj)
+            seq_buf = seq_buf.at[cb + 1].set(_in_proj(emb, lt, wdt))
 
     return jnp.stack(sampled), jnp.stack(argmaxed)

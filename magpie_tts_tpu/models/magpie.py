@@ -50,10 +50,13 @@ def audio_frame_embedding(codes: jnp.ndarray, weights: MagpieWeights,
     """codes: [..., 8] -> [..., d_model]: mean of the 8 per-codebook embeddings.
 
     The 1/8 scale is load-bearing (reference magpie.cpp:1434, STATUS.md:207-230).
+    Accumulates in float32 (as the fused frame kernel does) and rounds back to
+    the table dtype, so both paths feed identical decoder inputs.
     """
     per_cb = jax.vmap(lambda table, idx: table[idx], in_axes=(0, -1), out_axes=-2)(
         weights.audio_emb, codes)  # [..., 8, d_model]
-    return jnp.sum(per_cb, axis=-2) / config.num_codebooks
+    mean = jnp.sum(per_cb.astype(jnp.float32), axis=-2) / config.num_codebooks
+    return mean.astype(per_cb.dtype)
 
 
 def speaker_context(weights: MagpieWeights, speaker_id: jnp.ndarray) -> jnp.ndarray:

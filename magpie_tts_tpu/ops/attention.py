@@ -21,6 +21,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .precision import DOT_PRECISION
+
 _NEG_INF = -1e30
 
 
@@ -52,7 +54,7 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     d_head = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.float32(d_head))
     scores = jnp.einsum("...qd,...kd->...qk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=jnp.float32, precision=DOT_PRECISION) * scale
     if mask is not None:
         if mask.dtype == jnp.bool_:
             scores = jnp.where(mask, scores, _NEG_INF)
@@ -60,7 +62,7 @@ def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("...qk,...kd->...qd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=DOT_PRECISION)
     return out.astype(v.dtype)
 
 
@@ -74,7 +76,7 @@ def mha_full(x: jnp.ndarray, qkv_w: jnp.ndarray, out_w: jnp.ndarray, n_heads: in
     (bucketed sequences).
     """
     seq = x.shape[-2]
-    qkv = jnp.einsum("...sd,df->...sf", x, qkv_w, preferred_element_type=jnp.float32)
+    qkv = jnp.einsum("...sd,df->...sf", x, qkv_w, preferred_element_type=jnp.float32, precision=DOT_PRECISION)
     qkv = qkv.astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
@@ -92,7 +94,7 @@ def mha_full(x: jnp.ndarray, qkv_w: jnp.ndarray, out_w: jnp.ndarray, n_heads: in
     out = attend(q, k, v, mask)
     out = _merge_heads(out)
     return jnp.einsum("...sf,fd->...sd", out, out_w,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+                      preferred_element_type=jnp.float32, precision=DOT_PRECISION).astype(x.dtype)
 
 
 def mha_cached_step(x: jnp.ndarray, qkv_w: jnp.ndarray, out_w: jnp.ndarray,
@@ -108,7 +110,7 @@ def mha_cached_step(x: jnp.ndarray, qkv_w: jnp.ndarray, out_w: jnp.ndarray,
 
     Returns (attn_out [d_model], k_cache, v_cache) with the new K/V written.
     """
-    qkv = (x @ qkv_w).astype(x.dtype)
+    qkv = jnp.dot(x, qkv_w, precision=DOT_PRECISION).astype(x.dtype)
     d_model = x.shape[-1]
     q, k_new, v_new = qkv[:d_model], qkv[d_model:2 * d_model], qkv[2 * d_model:]
 
@@ -124,7 +126,8 @@ def mha_cached_step(x: jnp.ndarray, qkv_w: jnp.ndarray, out_w: jnp.ndarray,
     length_mask = (jnp.arange(max_seq) <= pos)[None, None, :]  # [1, 1, max_seq]
     out = attend(qh, kh, vh, length_mask)     # [H, 1, Dh]
     out = out.reshape(d_model)
-    return (out @ out_w).astype(x.dtype), k_cache, v_cache
+    return (jnp.dot(out, out_w, precision=DOT_PRECISION).astype(x.dtype),
+            k_cache, v_cache)
 
 
 def precompute_cross_attention_kv(memory_normed: jnp.ndarray, xa_kv_w: jnp.ndarray):
@@ -134,20 +137,23 @@ def precompute_cross_attention_kv(memory_normed: jnp.ndarray, xa_kv_w: jnp.ndarr
     (magpie.cpp:1696-1706 split).
     """
     kv = jnp.einsum("sd,df->sf", memory_normed, xa_kv_w,
-                    preferred_element_type=jnp.float32).astype(memory_normed.dtype)
+                    preferred_element_type=jnp.float32, precision=DOT_PRECISION).astype(memory_normed.dtype)
     d_xa = xa_kv_w.shape[-1] // 2
     return kv[:, :d_xa], kv[:, d_xa:]
 
 
 def cross_attention(query: jnp.ndarray, xa_k: jnp.ndarray, xa_v: jnp.ndarray,
                     q_w: jnp.ndarray, out_w: jnp.ndarray, n_heads: int,
-                    enc_length: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    enc_length: Optional[jnp.ndarray] = None,
+                    out_dtype=None) -> jnp.ndarray:
     """query: [..., Tq, d_model] (already normed); xa_k/xa_v: [enc_seq, d_xa].
 
     ``enc_length`` masks padded encoder key positions in bucketed mode.
+    ``out_dtype`` overrides the output dtype (the f32-carry decode step keeps
+    the unrounded f32 accumulation; default rounds to the query dtype).
     """
     q = jnp.einsum("...sd,df->...sf", query, q_w,
-                   preferred_element_type=jnp.float32).astype(query.dtype)
+                   preferred_element_type=jnp.float32, precision=DOT_PRECISION).astype(query.dtype)
     qh = _split_heads(q, n_heads)
     kh = _split_heads(xa_k, n_heads)
     vh = _split_heads(xa_v, n_heads)
@@ -155,5 +161,6 @@ def cross_attention(query: jnp.ndarray, xa_k: jnp.ndarray, xa_v: jnp.ndarray,
     if enc_length is not None:
         mask = (jnp.arange(xa_k.shape[-2]) < enc_length)[None, None, :]
     out = _merge_heads(attend(qh, kh, vh, mask))
-    return jnp.einsum("...sf,fd->...sd", out, out_w,
-                      preferred_element_type=jnp.float32).astype(query.dtype)
+    return jnp.einsum(
+        "...sf,fd->...sd", out, out_w, preferred_element_type=jnp.float32,
+        precision=DOT_PRECISION).astype(out_dtype or query.dtype)

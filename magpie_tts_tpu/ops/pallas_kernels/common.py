@@ -2,9 +2,24 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SQRT_HALF = 0.7071067811865476
+
+
+def dot_hi(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matmul with f32 accumulation; full-f32 MXU precision for f32 operands.
+
+    Mirrors the XLA paths' DOT_PRECISION policy (ops/precision.py) so the
+    kernels and the XLA oracle agree at f32 rounding level. Mosaic rejects a
+    contract_precision=fp32 attribute on non-f32 operands, so HIGHEST is
+    requested only when both operands are float32 (bf16 inputs are single-pass
+    exact either way).
+    """
+    hi = a.dtype == jnp.float32 and b.dtype == jnp.float32
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST if hi else None)
 
 
 def erf_approx(x: jnp.ndarray) -> jnp.ndarray:

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import dot_hi
+
 _NEG = -1e30
 
 
@@ -72,17 +74,20 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     x = x_ref[...]  # (1, d_model) f32
 
     # ---- self-attention ----
+    # Rounding points mirror models/decoder.decode_step_masked exactly (the
+    # temp=0 parity bar): qkv rounds to the weight dtype, score/context
+    # products are exact f32 of wdt-rounded operands, probabilities round to
+    # wdt, residual adds stay f32.
     h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
     dma(qkv_hbm.at[l], qkv_buf, 0).wait()
-    qkv = jnp.dot(h, qkv_buf[...].astype(wdt),
-                  preferred_element_type=jnp.float32)  # (1, 3d)
-    qkv = qkv * qkv_s_ref[0].astype(jnp.float32)
+    qkv = dot_hi(h, qkv_buf[...].astype(wdt))  # (1, 3d) f32
+    qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_qkv():
         dma(qkv_hbm.at[l + 1], qkv_buf, 0).start()
 
-    q = qkv[:, :d_model]
+    q = qkv[:, :d_model].astype(jnp.float32)
     k_new = qkv[:, d_model:2 * d_model].astype(kbuf.dtype)
     v_new = qkv[:, 2 * d_model:].astype(vbuf.dtype)
 
@@ -104,24 +109,23 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     # per-head scores via the segment matrix (no head reshapes)
     lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
     head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
-    seg = (lane // d_head == head).astype(wdt)            # [d, H]
-    z = (kbuf[...].astype(jnp.float32) * q).astype(wdt)   # [S, d]
-    scores = jnp.dot(z, seg, preferred_element_type=jnp.float32)  # [S, H]
+    seg = (lane // d_head == head).astype(jnp.float32)    # [d, H]
+    z = kbuf[...].astype(jnp.float32) * q                 # [S, d] exact products
+    scores = dot_hi(z, seg)                               # [S, H]
     scores = scores * (1.0 / jnp.sqrt(jnp.float32(d_head)))
     row = jax.lax.broadcasted_iota(jnp.int32, (max_seq, n_heads), 0)
     scores = jnp.where(row <= pos, scores, _NEG)
     m = jnp.max(scores, axis=0, keepdims=True)
     p = jnp.exp(scores - m)
     probs = p / jnp.sum(p, axis=0, keepdims=True)          # [S, H]
-    probs_exp = jnp.dot(probs.astype(wdt), seg.T,
-                        preferred_element_type=jnp.float32)  # [S, d]
-    weighted = (probs_exp * vbuf[...].astype(jnp.float32)).astype(wdt)
-    ones_row = jnp.ones((1, max_seq), wdt)
-    attn = jnp.dot(ones_row, weighted, preferred_element_type=jnp.float32)  # [1, d]
+    probs_w = probs.astype(wdt).astype(jnp.float32)        # round like XLA
+    probs_exp = dot_hi(probs_w, seg.T)                     # [S, d]
+    weighted = probs_exp * vbuf[...].astype(jnp.float32)
+    ones_row = jnp.ones((1, max_seq), jnp.float32)
+    attn = dot_hi(ones_row, weighted)                      # [1, d]
 
     dma(sao_hbm.at[l], sao_buf, 3).wait()
-    x = x + (jnp.dot(attn.astype(wdt), sao_buf[...].astype(wdt),
-                     preferred_element_type=jnp.float32)
+    x = x + (dot_hi(attn.astype(wdt), sao_buf[...].astype(wdt))
              * sao_s_ref[0].astype(jnp.float32))
 
     @pl.when(l < n_layers - 1)
@@ -130,27 +134,26 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     # ---- cross-attention (1 head, precomputed K/V) ----
     hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
-    q2 = jnp.dot(hq, xa_q_ref[0], preferred_element_type=jnp.float32)  # (1, d_xa)
-    zx = (xa_k_ref[0].astype(jnp.float32) * q2).astype(wdt)            # (E, d_xa)
-    ones_col = jnp.ones((d_xa, 1), wdt)
-    sx = jnp.dot(zx, ones_col, preferred_element_type=jnp.float32)     # (E, 1)
+    q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt).astype(jnp.float32)  # (1, d_xa)
+    zx = xa_k_ref[0].astype(jnp.float32) * q2                     # (E, d_xa)
+    ones_col = jnp.ones((d_xa, 1), jnp.float32)
+    sx = dot_hi(zx, ones_col)                                     # (E, 1)
     sx = sx * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
     erow = jax.lax.broadcasted_iota(jnp.int32, (enc_pad, 1), 0)
     sx = jnp.where(erow < enc_len, sx, _NEG)
     mx = jnp.max(sx, axis=0, keepdims=True)
     px = jnp.exp(sx - mx)
-    px = px / jnp.sum(px, axis=0, keepdims=True)                       # (E, 1)
-    wv = (px * xa_v_ref[0].astype(jnp.float32)).astype(wdt)            # (E, d_xa)
-    ones_e = jnp.ones((1, enc_pad), wdt)
-    xa = jnp.dot(ones_e, wv, preferred_element_type=jnp.float32)       # (1, d_xa)
-    x = x + jnp.dot(xa.astype(wdt), xa_out_ref[0],
-                    preferred_element_type=jnp.float32)
+    px = px / jnp.sum(px, axis=0, keepdims=True)                  # (E, 1)
+    px_w = px.astype(wdt).astype(jnp.float32)
+    wv = px_w * xa_v_ref[0].astype(jnp.float32)                   # (E, d_xa)
+    ones_e = jnp.ones((1, enc_pad), jnp.float32)
+    xa = dot_hi(ones_e, wv)                                       # (1, d_xa)
+    x = x + dot_hi(xa.astype(wdt), xa_out_ref[0])
 
     # ---- FFN (pointwise) ----
     hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
     dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-    f = (jnp.dot(hf, ffp_buf[...].astype(wdt),
-                 preferred_element_type=jnp.float32)
+    f = (dot_hi(hf, ffp_buf[...].astype(wdt))
          * ffp_s_ref[0].astype(jnp.float32))
 
     @pl.when(l < n_layers - 1)
@@ -159,8 +162,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     f = gelu_fn(f).astype(wdt)
     dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-    x = x + (jnp.dot(f, ffo_buf[...].astype(wdt),
-                     preferred_element_type=jnp.float32)
+    x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
              * ffo_s_ref[0].astype(jnp.float32))
 
     @pl.when(l < n_layers - 1)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import gelu_kernel
+from .common import dot_hi, gelu_kernel
 
 _NEG = -1e30
 
@@ -85,9 +85,8 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     # ---- self-attention ----
     h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
     dma(qkv_hbm.at[l], qkv_sc, 0).wait()
-    qkv = jnp.dot(h, qkv_sc[...].astype(wdt),
-                  preferred_element_type=jnp.float32)           # [B, 3D]
-    qkv = qkv * qkv_s_ref[0].astype(jnp.float32)
+    qkv = dot_hi(h, qkv_sc[...].astype(wdt))                    # [B, 3D]
+    qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_qkv():
@@ -95,10 +94,10 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
     head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
-    seg = (lane // d_head == head).astype(wdt)                  # [D, H]
+    seg = (lane // d_head == head).astype(jnp.float32)          # [D, H]
     inv_sqrt = 1.0 / jnp.sqrt(jnp.float32(d_head))
     wrows = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
-    ones_row = jnp.ones((1, S), wdt)
+    ones_row = jnp.ones((1, S), jnp.float32)
 
     base = (pos // 16) * 16
     for g in range(n_groups):
@@ -127,19 +126,19 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
         # Per-slot attention (the proven single-stream pattern; per-slot
         # values stay ~2MB so Mosaic never spills giant 3D vregs).
         for b in range(gb):
-            q_b = qkv[lo + b: lo + b + 1, :d_model]             # [1, D] f32
-            z = (kbufs[buf, b].astype(jnp.float32) * q_b).astype(wdt)
-            scores = jnp.dot(z, seg, preferred_element_type=jnp.float32)
+            q_b = qkv[lo + b: lo + b + 1, :d_model].astype(jnp.float32)
+            z = kbufs[buf, b].astype(jnp.float32) * q_b         # exact products
+            scores = dot_hi(z, seg)
             scores = scores * inv_sqrt                          # [S, H]
             vmask = valid_ref[:, lo + b: lo + b + 1] > 0      # [S, 1]
             scores = jnp.where(vmask, scores, _NEG)
             m = jnp.max(scores, axis=0, keepdims=True)
             p = jnp.exp(scores - m)
-            probs = (p / jnp.sum(p, axis=0, keepdims=True)).astype(wdt)
-            pe = jnp.dot(probs, seg.T, preferred_element_type=jnp.float32)
-            w = (pe * vbufs[buf, b].astype(jnp.float32)).astype(wdt)
-            attn_ref[lo + b: lo + b + 1, :] = jnp.dot(
-                ones_row, w, preferred_element_type=jnp.float32)
+            probs = p / jnp.sum(p, axis=0, keepdims=True)
+            probs_w = probs.astype(wdt).astype(jnp.float32)     # round like XLA
+            pe = dot_hi(probs_w, seg.T)
+            w = pe * vbufs[buf, b].astype(jnp.float32)
+            attn_ref[lo + b: lo + b + 1, :] = dot_hi(ones_row, w)
 
         dma(kbufs.at[buf, :, pl.ds(base, 16)],
             kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()
@@ -147,8 +146,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
             vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).wait()
 
     dma(sao_hbm.at[l], sao_buf, 3).wait()
-    x = x + (jnp.dot(attn_ref[...].astype(wdt), sao_buf[...].astype(wdt),
-                     preferred_element_type=jnp.float32)
+    x = x + (dot_hi(attn_ref[...].astype(wdt), sao_buf[...].astype(wdt))
              * sao_s_ref[0].astype(jnp.float32))
 
     @pl.when(l < n_layers - 1)
@@ -162,7 +160,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     # ---- cross-attention (1 head, per-slot K/V, full batch at once) ----
     hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
-    q2 = jnp.dot(hq, xa_q_ref[0], preferred_element_type=jnp.float32)  # [B, dxa]
+    q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt).astype(jnp.float32)  # [B, dxa]
     zx = (xa_k_ref[:, 0].astype(jnp.float32) * q2[:, None, :])  # [B, E, dxa]
     sx = jnp.sum(zx, axis=2) * (1.0 / jnp.sqrt(jnp.float32(d_xa)))  # [B, E]
     erow = jax.lax.broadcasted_iota(jnp.int32, (1, enc_pad), 1)
@@ -170,15 +168,15 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     mx = jnp.max(sx, axis=1, keepdims=True)
     px = jnp.exp(sx - mx)
     px = px / jnp.sum(px, axis=1, keepdims=True)                 # [B, E]
-    wv = px[:, :, None] * xa_v_ref[:, 0].astype(jnp.float32)     # [B, E, dxa]
+    px_w = px.astype(wdt).astype(jnp.float32)                    # round like XLA
+    wv = px_w[:, :, None] * xa_v_ref[:, 0].astype(jnp.float32)   # [B, E, dxa]
     xa = jnp.sum(wv, axis=1).astype(wdt)                         # [B, dxa]
-    x = x + jnp.dot(xa, xa_out_ref[0], preferred_element_type=jnp.float32)
+    x = x + dot_hi(xa, xa_out_ref[0])
 
     # ---- FFN (pointwise) ----
     hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
     dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-    f = (jnp.dot(hf, ffp_buf[...].astype(wdt),
-                 preferred_element_type=jnp.float32)
+    f = (dot_hi(hf, ffp_buf[...].astype(wdt))
          * ffp_s_ref[0].astype(jnp.float32))
 
     @pl.when(l < n_layers - 1)
@@ -187,8 +185,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     f = gelu_kernel(f, approximate=False).astype(wdt)
     dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-    x = x + (jnp.dot(f, ffo_buf[...].astype(wdt),
-                     preferred_element_type=jnp.float32)
+    x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
              * ffo_s_ref[0].astype(jnp.float32))
 
     @pl.when(l < n_layers - 1)

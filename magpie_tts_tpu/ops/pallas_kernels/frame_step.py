@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import gelu_kernel
+from .common import dot_hi, gelu_kernel
 
 _SEQ = 16       # padded LT sequence buffer rows (9 used)
 _NEG = -1e30
@@ -91,20 +91,19 @@ def _kernel(hidden_ref, posemb_ref,
         @pl.when(cb == 0)
         def _init():
             seq_ref[...] = jnp.zeros_like(seq_ref)
-            proj = jnp.dot(hidden_ref[...], in_w,
-                           preferred_element_type=jnp.float32) + in_b
+            proj = dot_hi(hidden_ref[...], in_w) + in_b
             seq_ref[0:1, :] = proj.astype(seq_ref.dtype)
 
         n = _SEQ
         x = (seq_ref[...].astype(jnp.float32) +
              lt_pos_ref[...].astype(jnp.float32))
         h = _ln(x, lt_ns_ref[0, :], eps).astype(seq_ref.dtype)
-        qkv = jnp.dot(h, lt_qkv_ref[...], preferred_element_type=jnp.float32)
+        qkv = dot_hi(h, lt_qkv_ref[...])
         q = qkv[:, :lt_dim].astype(seq_ref.dtype)
         k = qkv[:, lt_dim:2 * lt_dim].astype(seq_ref.dtype)
         v = qkv[:, 2 * lt_dim:].astype(seq_ref.dtype)
         scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))
-        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        scores = dot_hi(q, k.T) * scale
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         scores = jnp.where(cols <= rows, scores, _NEG)
@@ -112,18 +111,16 @@ def _kernel(hidden_ref, posemb_ref,
         probs = jnp.exp(scores)
         probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)
                  ).astype(seq_ref.dtype)
-        attn = jnp.dot(probs, v, preferred_element_type=jnp.float32)
-        x = x + jnp.dot(attn.astype(seq_ref.dtype), lt_sao_ref[...],
-                        preferred_element_type=jnp.float32)
+        attn = dot_hi(probs, v)
+        x = x + dot_hi(attn.astype(seq_ref.dtype), lt_sao_ref[...])
         h2 = _ln(x, lt_nf_ref[0, :], eps).astype(seq_ref.dtype)
-        ff = jnp.dot(h2, lt_ffp_ref[...], preferred_element_type=jnp.float32)
+        ff = dot_hi(h2, lt_ffp_ref[...])
         ff = gelu_kernel(ff, approximate=False).astype(seq_ref.dtype)
-        x = x + jnp.dot(ff, lt_ffo_ref[...], preferred_element_type=jnp.float32)
+        x = x + dot_hi(ff, lt_ffo_ref[...])
 
         row_mask = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == cb
         hid = jnp.sum(jnp.where(row_mask, x, 0.0), axis=0, keepdims=True)
-        logits = jnp.dot(hid.astype(seq_ref.dtype), lt_ow_ref[0],
-                         preferred_element_type=jnp.float32)[0]
+        logits = dot_hi(hid.astype(seq_ref.dtype), lt_ow_ref[0])[0]
         logits = logits + lt_ob_ref[0, 0].astype(jnp.float32)
 
         ids = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)[0]
@@ -188,8 +185,7 @@ def _kernel(hidden_ref, posemb_ref,
 
         @pl.when(cb < n_cb - 1)
         def _feedback():
-            proj = jnp.dot(emb.astype(in_w.dtype), in_w,
-                           preferred_element_type=jnp.float32) + in_b
+            proj = dot_hi(emb.astype(in_w.dtype), in_w) + in_b
             srows = jax.lax.broadcasted_iota(jnp.int32, (_SEQ, 1), 0)
             seq_ref[...] = jnp.where(srows == cb + 1,
                                      proj.astype(jnp.float32),
@@ -200,9 +196,12 @@ def _kernel(hidden_ref, posemb_ref,
         def _emit_codes():
             sampled_ref[0, :] = jnp.stack([code_smem[j] for j in range(n_cb)])
             argmax_ref[0, :] = jnp.stack([amax_smem[j] for j in range(n_cb)])
-            # seed the decoder: mean embedding + position embedding
-            x_ref[...] = (emb_acc[...] * (1.0 / n_cb) +
-                          posemb_ref[...].astype(jnp.float32))
+            # seed the decoder: mean embedding + position embedding, with
+            # the XLA path's rounding points (mean rounds to wdt, the pos-emb
+            # add happens in wdt) so both paths feed identical decoder inputs
+            mean = (emb_acc[...] * (1.0 / n_cb)).astype(wdt).astype(jnp.float32)
+            x0 = mean + posemb_ref[...].astype(jnp.float32)
+            x_ref[...] = x0.astype(wdt).astype(jnp.float32)
 
     # ===================== decoder phases (i in [n_cb, n_cb+L)) ============
     @pl.when(i >= n_cb)
@@ -217,15 +216,14 @@ def _kernel(hidden_ref, posemb_ref,
         # int8 vs ~10us compute; serial waits cost ~40% otherwise).
         h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
         dma(qkv_hbm.at[l], qkv_buf, 0).wait()
-        qkv = jnp.dot(h, qkv_buf[...].astype(wdt),
-                      preferred_element_type=jnp.float32)
-        qkv = qkv * qkv_s_ref[0].astype(jnp.float32)
+        qkv = dot_hi(h, qkv_buf[...].astype(wdt))
+        qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
 
         @pl.when(l < n_layers - 1)
         def _prefetch_qkv():
             dma(qkv_hbm.at[l + 1], qkv_buf, 0).start()
 
-        q = qkv[:, :d_model]
+        q = qkv[:, :d_model].astype(jnp.float32)
         k_new = qkv[:, d_model:2 * d_model].astype(kbuf.dtype)
         v_new = qkv[:, 2 * d_model:].astype(vbuf.dtype)
 
@@ -242,24 +240,23 @@ def _kernel(hidden_ref, posemb_ref,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
         head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
-        seg = (lane // d_head == head).astype(wdt)
-        z = (kbuf[...].astype(jnp.float32) * q).astype(wdt)
-        scores = jnp.dot(z, seg, preferred_element_type=jnp.float32)
+        seg = (lane // d_head == head).astype(jnp.float32)
+        z = kbuf[...].astype(jnp.float32) * q
+        scores = dot_hi(z, seg)
         scores = scores * (1.0 / jnp.sqrt(jnp.float32(d_head)))
         row = jax.lax.broadcasted_iota(jnp.int32, (max_seq, n_heads), 0)
         scores = jnp.where(row <= pos, scores, _NEG)
         m = jnp.max(scores, axis=0, keepdims=True)
         p = jnp.exp(scores - m)
         probs = p / jnp.sum(p, axis=0, keepdims=True)
-        probs_exp = jnp.dot(probs.astype(wdt), seg.T,
-                            preferred_element_type=jnp.float32)
-        weighted = (probs_exp * vbuf[...].astype(jnp.float32)).astype(wdt)
-        ones_row = jnp.ones((1, max_seq), wdt)
-        attn = jnp.dot(ones_row, weighted, preferred_element_type=jnp.float32)
+        probs_w = probs.astype(wdt).astype(jnp.float32)
+        probs_exp = dot_hi(probs_w, seg.T)
+        weighted = probs_exp * vbuf[...].astype(jnp.float32)
+        ones_row = jnp.ones((1, max_seq), jnp.float32)
+        attn = dot_hi(ones_row, weighted)
 
         dma(sao_hbm.at[l], sao_buf, 3).wait()
-        x = x + (jnp.dot(attn.astype(wdt), sao_buf[...].astype(wdt),
-                         preferred_element_type=jnp.float32)
+        x = x + (dot_hi(attn.astype(wdt), sao_buf[...].astype(wdt))
                  * sao_s_ref[0].astype(jnp.float32))
 
         @pl.when(l < n_layers - 1)
@@ -267,26 +264,25 @@ def _kernel(hidden_ref, posemb_ref,
             dma(sao_hbm.at[l + 1], sao_buf, 3).start()
 
         hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
-        q2 = jnp.dot(hq, xa_q_ref[0], preferred_element_type=jnp.float32)
-        zx = (xa_k_ref[0].astype(jnp.float32) * q2).astype(wdt)
-        ones_col = jnp.ones((d_xa, 1), wdt)
-        sx = jnp.dot(zx, ones_col, preferred_element_type=jnp.float32)
+        q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt).astype(jnp.float32)
+        zx = xa_k_ref[0].astype(jnp.float32) * q2
+        ones_col = jnp.ones((d_xa, 1), jnp.float32)
+        sx = dot_hi(zx, ones_col)
         sx = sx * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
         erow = jax.lax.broadcasted_iota(jnp.int32, (enc_pad, 1), 0)
         sx = jnp.where(erow < enc_len, sx, _NEG)
         mx = jnp.max(sx, axis=0, keepdims=True)
         px = jnp.exp(sx - mx)
         px = px / jnp.sum(px, axis=0, keepdims=True)
-        wv = (px * xa_v_ref[0].astype(jnp.float32)).astype(wdt)
-        ones_e = jnp.ones((1, enc_pad), wdt)
-        xa = jnp.dot(ones_e, wv, preferred_element_type=jnp.float32)
-        x = x + jnp.dot(xa.astype(wdt), xa_out_ref[0],
-                        preferred_element_type=jnp.float32)
+        px_w = px.astype(wdt).astype(jnp.float32)
+        wv = px_w * xa_v_ref[0].astype(jnp.float32)
+        ones_e = jnp.ones((1, enc_pad), jnp.float32)
+        xa = dot_hi(ones_e, wv)
+        x = x + dot_hi(xa.astype(wdt), xa_out_ref[0])
 
         hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
         dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-        f = (jnp.dot(hf, ffp_buf[...].astype(wdt),
-                     preferred_element_type=jnp.float32)
+        f = (dot_hi(hf, ffp_buf[...].astype(wdt))
              * ffp_s_ref[0].astype(jnp.float32))
 
         @pl.when(l < n_layers - 1)
@@ -295,8 +291,7 @@ def _kernel(hidden_ref, posemb_ref,
 
         f = gelu_kernel(f, approximate=False).astype(wdt)
         dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-        x = x + (jnp.dot(f, ffo_buf[...].astype(wdt),
-                         preferred_element_type=jnp.float32)
+        x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
                  * ffo_s_ref[0].astype(jnp.float32))
 
         @pl.when(l < n_layers - 1)

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import dot_hi
+
 _SEQ = 16       # padded sequence buffer rows (9 used)
 _NEG = -1e30
 
@@ -59,41 +61,38 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
     @pl.when(cb == 0)
     def _init():
         seq_ref[...] = jnp.zeros_like(seq_ref)
-        proj = jnp.dot(hidden_ref[...], in_w,
-                       preferred_element_type=jnp.float32) + in_b
+        proj = dot_hi(hidden_ref[...], in_w) + in_b
         seq_ref[0:1, :] = proj.astype(seq_ref.dtype)
 
     # --- LT layer over the padded buffer; the causal mask makes rows > cb inert.
     n = _SEQ
     x = seq_ref[...].astype(jnp.float32) + pos_emb_ref[...].astype(jnp.float32)
     h = _layer_norm(x, norm_self_ref[0, :], eps).astype(seq_ref.dtype)
-    qkv = jnp.dot(h, qkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = dot_hi(h, qkv_ref[...])
     q = qkv[:, :lt_dim].astype(seq_ref.dtype)
     k = qkv[:, lt_dim:2 * lt_dim].astype(seq_ref.dtype)
     v = qkv[:, 2 * lt_dim:].astype(seq_ref.dtype)
     scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))  # single head, d_head = lt_dim
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    scores = dot_hi(q, k.T) * scale
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     scores = jnp.where(cols <= rows, scores, _NEG)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     probs = jnp.exp(scores)
     probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(seq_ref.dtype)
-    attn = jnp.dot(probs, v, preferred_element_type=jnp.float32)
-    x = x + jnp.dot(attn.astype(seq_ref.dtype), sa_out_ref[...],
-                    preferred_element_type=jnp.float32)
+    attn = dot_hi(probs, v)
+    x = x + dot_hi(attn.astype(seq_ref.dtype), sa_out_ref[...])
     h2 = _layer_norm(x, norm_ff_ref[0, :], eps).astype(seq_ref.dtype)
-    ff = jnp.dot(h2, ff_proj_ref[...], preferred_element_type=jnp.float32)
+    ff = dot_hi(h2, ff_proj_ref[...])
     from .common import gelu_kernel
 
     ff = gelu_kernel(ff, approximate=gelu_tanh).astype(seq_ref.dtype)
-    x = x + jnp.dot(ff, ff_out_ref[...], preferred_element_type=jnp.float32)
+    x = x + dot_hi(ff, ff_out_ref[...])
 
     # row cb -> logits for this codebook
     row_mask = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == cb
     hid = jnp.sum(jnp.where(row_mask, x, 0.0), axis=0, keepdims=True)  # [1, D]
-    logits = jnp.dot(hid.astype(seq_ref.dtype), out_w_ref[0],
-                     preferred_element_type=jnp.float32)[0]
+    logits = dot_hi(hid.astype(seq_ref.dtype), out_w_ref[0])[0]
     logits = logits + out_b_ref[0, 0].astype(jnp.float32)  # [vocab]
 
     # --- forbidden-token masking (magpie.cpp:1131-1248)
@@ -171,8 +170,7 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
         emb = jnp.sum(jnp.where(rows == code - base,
                                 emb_scratch[...].astype(jnp.float32), 0.0),
                       axis=0, keepdims=True)
-        proj = jnp.dot(emb.astype(in_w.dtype), in_w,
-                       preferred_element_type=jnp.float32) + in_b
+        proj = dot_hi(emb.astype(in_w.dtype), in_w) + in_b
         srows = jax.lax.broadcasted_iota(jnp.int32, (_SEQ, 1), 0)
         seq_ref[...] = jnp.where(srows == cb + 1, proj.astype(jnp.float32),
                                  seq_ref[...].astype(jnp.float32)

@@ -42,6 +42,28 @@ def select_platform(backend: str = "auto") -> str:
         return "cpu"
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Cold compiles dominate process start on TPU (~50s for the full synthesis
+    program); with the on-disk cache a second process deserializes the
+    executables instead of recompiling. The CLI and serving entry points call
+    this at startup; MAGPIE_COMPILATION_CACHE overrides the location, and
+    MAGPIE_COMPILATION_CACHE=0 disables it.
+    """
+    import jax
+
+    env = os.environ.get("MAGPIE_COMPILATION_CACHE")
+    if env == "0":
+        return ""
+    cache_dir = cache_dir or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "magpie_tts_tpu", "jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
+
+
 def device_summary() -> str:
     import jax
 
