@@ -129,3 +129,102 @@ def test_inspect_gguf_runs(tmp_path, rng):
     assert proc.returncode == 0
     assert "text_embedding.weight" in proc.stdout
     assert "metadata" in proc.stdout
+
+
+# ---- per-layer golden tracing + verify_golden --------------------------------
+
+
+def test_trace_forward_consistency(rng):
+    """Per-layer traces must agree with the production building blocks."""
+    import jax.numpy as jnp
+
+    from magpie_tts_tpu.io import trace_forward as tf
+    from magpie_tts_tpu.io.magpie_weights import random_magpie_weights
+    from magpie_tts_tpu.models import local_transformer as lt_mod
+    from magpie_tts_tpu.models.decoder import decode_full
+    from magpie_tts_tpu.models.encoder import run_encoder
+    from magpie_tts_tpu.models.magpie import audio_frame_embedding, speaker_context
+    from magpie_tts_tpu.ops import sampling
+    from tests.utils import tiny_magpie_config
+
+    c = tiny_magpie_config()
+    w = random_magpie_weights(c, seed=5)
+    tokens = jnp.asarray(rng.integers(2, 90, size=7), jnp.int32)
+
+    enc_trace = tf.trace_encoder(tokens, w, c)
+    np.testing.assert_allclose(enc_trace["encoder_output"],
+                               np.asarray(run_encoder(tokens, w, c)),
+                               atol=1e-6)
+    assert f"encoder_layer_{c.enc_layers - 1}" in enc_trace
+
+    enc_out = jnp.asarray(enc_trace["encoder_output"])
+    dec_trace = tf.trace_decoder(enc_out, w, c, speaker_id=0)
+    ctx = speaker_context(w, jnp.int32(0))
+    bos = jnp.full((c.num_codebooks,), c.audio_bos_id, jnp.int32)
+    dec_in = jnp.concatenate(
+        [ctx, audio_frame_embedding(bos, w, c)[None]], axis=0)
+    want = np.asarray(decode_full(dec_in, enc_out, w, c))
+    np.testing.assert_allclose(dec_trace["decoder_output"], want, atol=1e-5)
+    assert f"decoder_layer_{c.dec_layers - 1}" in dec_trace
+
+    hidden = jnp.asarray(dec_trace["decoder_output"][-1])
+    lt_trace = tf.trace_local_transformer(hidden, w, c)
+    static_mask = sampling.forbidden_token_mask(
+        c.vocab_per_cb, c.audio_bos_id, c.audio_eos_id)
+    import jax
+    sampled, argmax = lt_mod.sample_frame_codes(
+        hidden, w, c, jax.random.PRNGKey(0), jnp.float32(0.0), 8,
+        jnp.bool_(False), static_mask)
+    np.testing.assert_array_equal(lt_trace["lt_greedy_codes"].astype(np.int32),
+                                  np.asarray(argmax))
+
+
+def test_trace_codec_consistency(rng):
+    from magpie_tts_tpu.config import CodecConfig
+    from magpie_tts_tpu.io import trace_forward as tf
+    from magpie_tts_tpu.io.codec_weights import random_codec_weights
+    from magpie_tts_tpu.models import codec as cm
+    import jax.numpy as jnp
+
+    c = CodecConfig()
+    w = random_codec_weights(c, seed=2)
+    codes = rng.integers(0, 2016, size=(c.num_codebooks, 6)).astype(np.int32)
+    trace = tf.trace_codec(codes, w, c)
+    want = np.asarray(cm.codec_decode(jnp.asarray(codes), w, c,
+                                      use_pallas=False))
+    np.testing.assert_allclose(trace["codec_audio"], want, atol=1e-6)
+    assert trace["codec_latent"].shape[-1] == c.latent_dim
+    for s in range(len(c.up_sample_rates)):
+        assert f"codec_stage{s}" in trace
+
+
+def test_verify_golden_cli(tmp_path, rng):
+    """verify_golden passes on identical dirs, fails on perturbed/missing."""
+    from tools import verify_golden
+
+    a, b, c = tmp_path / "a", tmp_path / "b", tmp_path / "c"
+    for d in (a, b, c):
+        d.mkdir()
+    enc = rng.normal(size=(5, 8)).astype(np.float32)
+    codes = rng.integers(0, 100, size=(3, 8)).astype(np.float32)
+    write_golden(a / "encoder_layer_0.bin", enc)
+    write_golden(a / "greedy_codes.bin", codes)
+    write_golden(b / "encoder_layer_0.bin", enc + 1e-5)   # within 8e-3 bar
+    write_golden(b / "greedy_codes.bin", codes)
+    write_golden(c / "encoder_layer_0.bin", enc + 0.1)    # FAIL
+    write_golden(c / "greedy_codes.bin", codes)
+
+    def run_cli(ref, cand, *extra):
+        old = sys.argv
+        sys.argv = ["verify_golden.py", str(ref), str(cand), *extra]
+        try:
+            return verify_golden.main()
+        finally:
+            sys.argv = old
+
+    assert run_cli(a, b) == 0
+    assert run_cli(a, c) == 1
+    (c / "greedy_codes.bin").unlink()
+    assert run_cli(a, c) == 1                              # missing file
+    assert run_cli(a, c, "--tol", "encoder=1.0") == 1      # still missing
+    assert run_cli(a, b, "--tol", "encoder=1e-9") == 1     # tightened tol
