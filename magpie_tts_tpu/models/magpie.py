@@ -273,6 +273,9 @@ def synthesize_codes_batched_program(
     static_mask = sampling.forbidden_token_mask(
         config.vocab_per_cb, config.audio_bos_id, config.audio_eos_id)
     dtype = weights.text_emb.dtype
+    from ..ops.pallas_kernels.lt_sampler_batched import batched_shapes_ok
+    use_pallas_lt = (use_pallas_default(config)
+                     and batched_shapes_ok(tokens.shape[0]))
 
     xa_k, xa_v, st = jax.vmap(
         lambda t, el, sp: prepare(t, el, sp, weights, config)
@@ -299,7 +302,17 @@ def synthesize_codes_batched_program(
         forbid_eos = s.frame_idx < config.min_generated_frames
         split = jax.vmap(jax.random.split, out_axes=1)(s.keys)
         keys, subkeys = split[0], split[1]
-        sampled, argmax = jax.vmap(sample_one)(s.hidden, subkeys, forbid_eos)
+        if use_pallas_lt:
+            from ..ops.pallas_kernels.lt_sampler_batched import (
+                sample_frame_codes_batched_pallas)
+
+            seed = jax.lax.bitcast_convert_type(subkeys[0, 0], jnp.int32)
+            sampled, argmax = sample_frame_codes_batched_pallas(
+                s.hidden, weights, config, seed, temperature, top_k,
+                forbid_eos)
+        else:
+            sampled, argmax = jax.vmap(sample_one)(s.hidden, subkeys,
+                                                   forbid_eos)
         is_eos = jax.vmap(
             lambda sm, am: sampling.frame_has_eos(sm, am, config.audio_eos_id)
         )(sampled, argmax)

@@ -1,0 +1,274 @@
+"""Batched fused local-transformer sampler: all B slots, one Pallas kernel.
+
+The lockstep / continuous-batching loops sampled frame codes by vmapping the
+XLA path (models/local_transformer.py), which cost ~330us (~17%) of the batched
+step at batch 32: 8 sequential codebook iterations of tiny per-slot matmuls
+that never fill the MXU. This kernel runs the whole 8-codebook loop for the
+full batch in one pallas_call:
+
+- grid = (8,) over codebooks; the per-codebook output head [lt_dim, vocab] and
+  a PRE-PROJECTED audio-embedding table [vocab, lt_dim] stream through VMEM via
+  their BlockSpecs (auto double-buffered) — no manual DMA anywhere;
+- every slot's growing 16-row sequence buffer lives flattened in one
+  [B*16, lt_dim] VMEM scratch, so the shared-weight matmuls (QKV, FFN, output
+  head) are single large MXU contractions instead of B tiny ones;
+- the LT layer output is only ever needed at row ``cb`` of each slot (the
+  buffer stores raw projected embeddings and the layer is re-run each
+  iteration, magpie.cpp:1015-1034), so after the full-buffer QKV only the B
+  selected rows are carried forward — selection and scatter are 0/1 matmuls,
+  exact in f32;
+- attention for the selected rows is one [B, B*16] score matmul with a
+  block-diagonal (same-slot) causal mask;
+- sampling is vectorized over rows: forbidden-token masking, per-row argmax
+  (EOS detection), top-k threshold by fixed-iteration bisection on the logit
+  range (the batched replacement for the single-stream kernel's histogram
+  refinement — same contract: the smallest tau with |{logits >= tau}| >= k up
+  to f32 resolution), then Gumbel-max at the given temperature;
+- the sampled codes' next-codebook embeddings come from the pre-projected
+  table by a one-hot matmul gather (1.0/0.0 rows — exact), removing the
+  in-kernel 768->lt_dim projection entirely.
+
+Greedy (temp < 0.01) is bit-exact with jax.vmap of the XLA path at f32 (same
+rounding points as models/local_transformer._lt_layer_f32). Reference
+semantics: magpie.cpp:1072-1317 (host-side sampler it replaces).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import dot_hi, gelu_kernel
+from .lt_sampler import _pad_rows_to_16
+
+_SEQ = 16       # padded per-slot sequence rows (9 used)
+_NEG = -1e30
+_BISECT_ITERS = 24  # f32 mantissa bits: tau resolution ~ span / 2^24
+
+
+def _layer_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    return (c / jnp.sqrt(var + eps)) * w.astype(jnp.float32)
+
+
+def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
+            norm_self_ref, qkv_ref, sa_out_ref, norm_ff_ref, ff_proj_ref,
+            ff_out_ref, out_w_ref, out_b_ref, proj_emb_ref, forbid_ref,
+            temp_ref, flags_ref,
+            sampled_ref, argmax_ref, seq_ref, *,
+            n_batch: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
+            audio_bos_id: int, audio_eos_id: int, eps: float,
+            gelu_tanh: bool, n_cb: int, use_prng: bool):
+    cb = pl.program_id(0)
+    B = n_batch
+    R = B * _SEQ
+    wdt = seq_ref.dtype
+
+    in_b = in_proj_b_ref[0, :].astype(jnp.float32)
+
+    @pl.when(cb == 0)
+    def _init():
+        # Project each slot's decoder hidden into row b*16 of the flat buffer.
+        proj = dot_hi(hidden_ref[...], in_proj_w_ref[...]) + in_b   # [B, lt]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        scat = ((rows // _SEQ == jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
+                & (rows % _SEQ == 0)).astype(jnp.float32)           # [R, B]
+        seq_ref[...] = dot_hi(scat, proj.astype(jnp.float32)).astype(wdt)
+
+    # ---- LT layer over the flat buffer; rows beyond cb are causally inert.
+    x = seq_ref[...].astype(jnp.float32) + pos_tiled_ref[...].astype(jnp.float32)
+    h = _layer_norm(x, norm_self_ref[0, :], eps).astype(wdt)
+    qkv = dot_hi(h, qkv_ref[...])                                   # [R, 3lt] f32
+    k = qkv[:, lt_dim:2 * lt_dim].astype(wdt)
+    v = qkv[:, 2 * lt_dim:].astype(wdt)
+
+    # Select row b*16+cb of each slot (the only row whose output is consumed).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
+    sel = ((rows // _SEQ == slot) & (rows % _SEQ == cb)).astype(jnp.float32)
+    q_sel = dot_hi(sel, qkv[:, :lt_dim]).astype(wdt)                # [B, lt]
+    x_sel = dot_hi(sel, x)                                          # [B, lt] f32
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))  # single head, d_head = lt_dim
+    scores = dot_hi(q_sel, k.T) * scale                             # [B, R]
+    visible = (rows // _SEQ == slot) & (rows % _SEQ <= cb)
+    scores = jnp.where(visible, scores, _NEG)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(wdt)
+    attn = dot_hi(probs, v)                                         # [B, lt] f32
+    x1 = x_sel + dot_hi(attn.astype(wdt), sa_out_ref[...])
+    h2 = _layer_norm(x1, norm_ff_ref[0, :], eps).astype(wdt)
+    ff = dot_hi(h2, ff_proj_ref[...])
+    ff = gelu_kernel(ff, approximate=gelu_tanh).astype(wdt)
+    x2 = x1 + dot_hi(ff, ff_out_ref[...])                           # [B, lt] f32
+
+    logits = dot_hi(x2.astype(wdt), out_w_ref[0])                   # [B, vocab]
+    logits = logits + out_b_ref[0].astype(jnp.float32)
+
+    # ---- forbidden-token masking (magpie.cpp:1131-1248)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, vocab), 1)
+    forbidden = (ids == audio_bos_id) | \
+                ((ids >= audio_bos_id + 2) & (ids <= audio_bos_id + 7))
+    forbid_eos = forbid_ref[...] > 0                                # [B, 1]
+    forbidden = forbidden | (forbid_eos & (ids == audio_eos_id))
+    logits = jnp.where(forbidden, _NEG, logits)
+
+    # Per-row argmax with first-max tie-breaking (== jnp.argmax).
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    amax = jnp.min(jnp.where(logits == row_max, ids, vocab),
+                   axis=-1).astype(jnp.int32)                       # [B]
+
+    # ---- top-k threshold by bisection: smallest tau with count(tau) >= k.
+    temp = temp_ref[0]
+    lo = jnp.min(jnp.where(forbidden, jnp.float32(3.4e38), logits),
+                 axis=-1, keepdims=True)                            # [B, 1]
+    hi = row_max + 1.0
+    for _ in range(_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((logits >= mid).astype(jnp.int32), axis=-1,
+                      keepdims=True)
+        ok = cnt >= top_k
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+    in_topk = logits >= lo
+
+    # ---- Gumbel-max over the top-k candidates at temperature
+    if use_prng:
+        pltpu.prng_seed(flags_ref[0] * jnp.int32(n_cb) + cb)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((B, vocab)), jnp.int32)
+        u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
+            1.0 / (1 << 24))
+        u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
+        gumbel = -jnp.log(-jnp.log(u))
+    else:  # interpret mode: PRNG unavailable; sampled == argmax there
+        gumbel = jnp.zeros((B, vocab), jnp.float32)
+    safe_temp = jnp.maximum(temp, 0.01)
+    z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
+    z_max = jnp.max(z, axis=-1, keepdims=True)
+    drawn = jnp.min(jnp.where(z == z_max, ids, vocab), axis=-1).astype(jnp.int32)
+
+    greedy = temp < 0.01
+    code = jnp.where(greedy, amax, drawn)                           # [B]
+
+    # Masked full-array writes: a (1, B) block would violate Mosaic's 8-sublane
+    # rule, so the whole [n_cb, B] output revolves in VMEM across grid steps.
+    out_row = jax.lax.broadcasted_iota(jnp.int32, (n_cb, B), 0)
+    sampled_ref[...] = jnp.where(out_row == cb, code[None, :], sampled_ref[...])
+    argmax_ref[...] = jnp.where(out_row == cb, amax[None, :], argmax_ref[...])
+
+    # ---- feedback: one-hot gather from the pre-projected table, scatter into
+    # row b*16+cb+1 of each slot.
+    @pl.when(cb < n_cb - 1)
+    def _feedback():
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
+        onehot = (cols == code[:, None]).astype(jnp.float32)
+        emb = dot_hi(onehot, proj_emb_ref[0].astype(jnp.float32))   # [B, lt]
+        rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        scat = ((rws // _SEQ == jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
+                & (rws % _SEQ == cb + 1)).astype(jnp.float32)       # [R, B]
+        ins = dot_hi(scat, emb).astype(wdt)
+        seq_ref[...] = jnp.where(rws % _SEQ == cb + 1, ins, seq_ref[...])
+
+
+def batched_shapes_ok(n_batch: int) -> bool:
+    """The flat [B*16, lt_dim] buffer is transposed for the score matmul;
+    Mosaic needs its sublane count to be a 128-lane multiple post-transpose."""
+    return n_batch % 8 == 0
+
+
+def sample_frame_codes_batched_pallas(
+        hidden: jnp.ndarray, weights, config,
+        seed: jnp.ndarray, temperature: jnp.ndarray, top_k: int,
+        forbid_eos: jnp.ndarray, gelu_tanh: bool = False,
+        interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """hidden: [B, d_model], forbid_eos: [B] bool -> (sampled, argmax) [B, 8].
+
+    ``seed``: int32 scalar; fold the frame index in before calling. Per-slot
+    randomness comes from the row dimension of the on-chip PRNG draw.
+    """
+    lt = weights.lt
+    c = config
+    B = hidden.shape[0]
+    dtype = hidden.dtype
+    top_k = min(top_k, c.vocab_per_cb)
+    n_cb = c.num_codebooks
+
+    # Pre-projected per-codebook embedding table: in_proj applied to every
+    # audio-embedding row (bias included), rounded to the compute dtype exactly
+    # like models/local_transformer._in_proj. Weights-only -> XLA hoists it out
+    # of the decode while_loop; ~8 * vocab * lt_dim, a few MB.
+    from ..precision import DOT_PRECISION
+
+    proj_emb = (jnp.einsum("cvd,dl->cvl", weights.audio_emb.astype(dtype),
+                           lt.in_proj_w.astype(dtype),
+                           preferred_element_type=jnp.float32,
+                           precision=DOT_PRECISION)
+                + lt.in_proj_b.astype(jnp.float32)).astype(dtype)
+    proj_emb = _pad_rows_to_16(proj_emb)
+    vocab_pad = proj_emb.shape[1]
+
+    pos_pad = jnp.zeros((_SEQ, c.lt_dim), dtype).at[: c.lt_max_pos].set(
+        lt.pos_emb.astype(dtype)[:_SEQ])
+    pos_tiled = jnp.tile(pos_pad, (B, 1))
+
+    temp_arr = temperature.astype(jnp.float32).reshape(1)
+    flags = seed.astype(jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _kernel, n_batch=B, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
+        vocab_pad=vocab_pad, top_k=top_k, audio_bos_id=c.audio_bos_id,
+        audio_eos_id=c.audio_eos_id, eps=c.eps, gelu_tanh=gelu_tanh,
+        n_cb=n_cb, use_prng=not interpret)
+
+    def vm(*blk):
+        return pl.BlockSpec(blk, lambda cb: tuple(0 for _ in blk))
+
+    sampled, argmax = pl.pallas_call(
+        kernel,
+        grid=(n_cb,),
+        out_shape=(jax.ShapeDtypeStruct((n_cb, B), jnp.int32),
+                   jax.ShapeDtypeStruct((n_cb, B), jnp.int32)),
+        in_specs=[
+            vm(B, c.d_model),                 # hidden
+            vm(c.d_model, c.lt_dim),          # in_proj_w
+            vm(1, c.lt_dim),                  # in_proj_b
+            vm(B * _SEQ, c.lt_dim),           # pos_emb tiled per slot
+            vm(1, c.lt_dim),                  # norm_self
+            vm(c.lt_dim, 3 * c.lt_dim),       # qkv
+            vm(c.lt_dim, c.lt_dim),           # sa_out
+            vm(1, c.lt_dim),                  # norm_ff
+            vm(c.lt_dim, c.lt_ffn_dim),       # ff_proj
+            vm(c.lt_ffn_dim, c.lt_dim),       # ff_out
+            pl.BlockSpec((1, c.lt_dim, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
+            pl.BlockSpec((1, 1, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
+            pl.BlockSpec((1, vocab_pad, c.lt_dim), lambda cb: (cb, 0, 0)),
+            vm(B, 1),                         # forbid_eos per slot
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # flags [seed]
+        ],
+        out_specs=(pl.BlockSpec((n_cb, B), lambda cb: (0, 0)),
+                   pl.BlockSpec((n_cb, B), lambda cb: (0, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((B * _SEQ, c.lt_dim), dtype),   # flat seq buffers
+        ],
+        interpret=interpret,
+    )(hidden, lt.in_proj_w.astype(dtype),
+      lt.in_proj_b.astype(dtype).reshape(1, -1), pos_tiled,
+      lt.norm_self.astype(dtype).reshape(1, -1), lt.qkv.astype(dtype),
+      lt.sa_out.astype(dtype), lt.norm_ff.astype(dtype).reshape(1, -1),
+      lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),
+      lt.out_proj_w.astype(dtype),
+      lt.out_proj_b.astype(jnp.float32).reshape(n_cb, 1, -1),
+      proj_emb, forbid_eos.astype(jnp.int32).reshape(B, 1),
+      temp_arr, flags)
+
+    return sampled.T, argmax.T

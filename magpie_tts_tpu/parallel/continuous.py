@@ -180,7 +180,19 @@ class ContinuousBatchingEngine:
                     forbid = frame_count < config.min_generated_frames
                     split = jax.vmap(jax.random.split, out_axes=1)(keys)
                     keys, subkeys = split[0], split[1]
-                    sampled, argmax = jax.vmap(sample_one)(hidden, subkeys, forbid)
+                    from ..ops.pallas_kernels.lt_sampler_batched import (
+                        batched_shapes_ok, sample_frame_codes_batched_pallas)
+
+                    if (magpie_mod.use_pallas_default(config)
+                            and batched_shapes_ok(self.n_slots)):
+                        seed = jax.lax.bitcast_convert_type(
+                            subkeys[0, 0], jnp.int32)
+                        sampled, argmax = sample_frame_codes_batched_pallas(
+                            hidden, weights, config, seed, temperature, top_k,
+                            forbid)
+                    else:
+                        sampled, argmax = jax.vmap(sample_one)(
+                            hidden, subkeys, forbid)
                     is_eos = jax.vmap(lambda s, a: sampling.frame_has_eos(
                         s, a, config.audio_eos_id))(sampled, argmax)
                     codes_seg = jax.lax.dynamic_update_slice(

@@ -297,6 +297,73 @@ def test_prod_batched_decoder_step_interpret(rng, prod):
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
 
 
+def test_batched_lt_sampler_greedy_parity(rng):
+    """Batched fused LT sampler == vmapped XLA path at temp=0 (bit-exact)."""
+    from magpie_tts_tpu.ops.pallas_kernels.lt_sampler_batched import (
+        sample_frame_codes_batched_pallas)
+
+    c = CONFIG
+    static_mask = sampling.forbidden_token_mask(
+        c.vocab_per_cb, c.audio_bos_id, c.audio_eos_id)
+    B = 8
+    for trial in range(3):
+        hidden = jnp.asarray(
+            rng.normal(0, 0.5, size=(B, c.d_model)).astype(np.float32))
+        forbid = jnp.asarray(rng.integers(0, 2, size=(B,)).astype(bool))
+        s_ref, a_ref = jax.vmap(
+            lambda h, f: lt_mod.sample_frame_codes(
+                h, WEIGHTS, c, jax.random.PRNGKey(0), jnp.float32(0.0), 8, f,
+                static_mask))(hidden, forbid)
+        s_p, a_p = sample_frame_codes_batched_pallas(
+            hidden, WEIGHTS, c, jnp.int32(trial), jnp.float32(0.0), 8, forbid,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_p))
+        np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_p))
+
+
+def test_batched_lt_sampler_topk_range(rng):
+    """Sampled codes stay in-vocab and off the forbidden list at temp>0."""
+    from magpie_tts_tpu.ops.pallas_kernels.lt_sampler_batched import (
+        sample_frame_codes_batched_pallas)
+
+    c = CONFIG
+    B = 8
+    hidden = jnp.asarray(
+        rng.normal(0, 0.5, size=(B, c.d_model)).astype(np.float32))
+    s, a = sample_frame_codes_batched_pallas(
+        hidden, WEIGHTS, c, jnp.int32(1), jnp.float32(0.8), 5,
+        jnp.zeros((B,), bool), interpret=True)
+    s = np.asarray(s)
+    assert s.shape == (B, c.num_codebooks)
+    assert np.all(s >= 0) and np.all(s < c.vocab_per_cb)
+    forbidden = [c.audio_bos_id] + list(range(c.audio_bos_id + 2,
+                                              c.audio_bos_id + 8))
+    assert not np.isin(s, forbidden).any()
+
+
+def test_prod_batched_lt_sampler_interpret(rng, prod):
+    """Production 357M shapes through the batched LT sampler on CPU."""
+    from magpie_tts_tpu.ops.pallas_kernels.lt_sampler_batched import (
+        sample_frame_codes_batched_pallas)
+
+    c, w = prod
+    static_mask = sampling.forbidden_token_mask(
+        c.vocab_per_cb, c.audio_bos_id, c.audio_eos_id)
+    B = 8
+    hidden = jnp.asarray(
+        rng.normal(0, 0.5, size=(B, c.d_model)).astype(np.float32))
+    forbid = jnp.asarray(rng.integers(0, 2, size=(B,)).astype(bool))
+    s_ref, a_ref = jax.vmap(
+        lambda h, f: lt_mod.sample_frame_codes(
+            h, w, c, jax.random.PRNGKey(0), jnp.float32(0.0), 80, f,
+            static_mask))(hidden, forbid)
+    s_p, a_p = sample_frame_codes_batched_pallas(
+        hidden, w, c, jnp.int32(5), jnp.float32(0.0), 80, forbid,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_p))
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_p))
+
+
 def test_batched_decoder_step_matches_vmapped_masked(rng):
     """Batched kernel (grouped cache streaming, shared write row, per-slot
     masks) == vmapped decode_step_masked."""
