@@ -17,7 +17,14 @@ This kernel runs grid=(L,) like the single-stream megakernel
   ring pointer. Per-slot attention membership comes from a [B, S] validity
   mask input, so the same kernel serves both engines;
 - optional per-column int8 weight streaming (Int8DecoderStream), as in the
-  single-stream kernel.
+  single-stream kernel;
+- VALID-LENGTH-AWARE cache streaming: when every slot's last valid cache row
+  sits below a static half-point (320 of 626 rows — true for the first ~200
+  generated frames of every utterance), only that prefix is DMAed and
+  attended over, halving both the HBM traffic (the kernel's floor) and the
+  per-slot attention compute. The variant is picked by one runtime scalar
+  derived from the validity mask, so ring caches degrade gracefully to the
+  full path.
 
 Position embeddings are added by the CALLER (they are per-slot logical
 positions, a trivial XLA gather).
@@ -54,21 +61,57 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
             x_ref, attn_ref, qkv_sc, sao_buf, ffp_buf, ffo_buf,
             kbufs, vbufs, sems, *,
             n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
-            d_xa: int, max_seq: int, enc_pad: int, eps: float):
+            d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int):
     l = pl.program_id(0)
     pos = scal_ref[0]
     d_head = d_model // n_heads
     wdt = x_in_ref.dtype
     n_groups = n_batch // gb
     S = max_seq
+    cascade = 0 < s_half < S
+    variants = (s_half, S) if cascade else (S,)
+
+    def in_variant(rows):
+        if not cascade:
+            return None
+        half = scal_ref[1] > 0
+        return half if rows == s_half else ~half
+
+    def when_variant(rows):
+        cond = in_variant(rows)
+        if cond is None:
+            return lambda f: f()  # single variant: run unconditionally
+        return pl.when(cond)
 
     def dma(src, dst, sem_idx):
         return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
 
-    def cache_dma(g, buf_idx, sem_base):
+    def cache_dma(g, buf_idx, sem_base, rows, layer):
         lo = g * gb
-        return (dma(kc_hbm.at[pl.ds(lo, gb), l], kbufs.at[buf_idx], sem_base),
-                dma(vc_hbm.at[pl.ds(lo, gb), l], vbufs.at[buf_idx], sem_base + 1))
+        if rows == S:
+            return (dma(kc_hbm.at[pl.ds(lo, gb), layer], kbufs.at[buf_idx],
+                        sem_base),
+                    dma(vc_hbm.at[pl.ds(lo, gb), layer], vbufs.at[buf_idx],
+                        sem_base + 1))
+        return (dma(kc_hbm.at[pl.ds(lo, gb), layer, pl.ds(0, rows)],
+                    kbufs.at[buf_idx, :, pl.ds(0, rows)], sem_base),
+                dma(vc_hbm.at[pl.ds(lo, gb), layer, pl.ds(0, rows)],
+                    vbufs.at[buf_idx, :, pl.ds(0, rows)], sem_base + 1))
+
+    def cache_start(g, buf_idx, sem_base, layer=None):
+        for rows in variants:
+            @when_variant(rows)
+            def _start():
+                for c in cache_dma(g, buf_idx, sem_base, rows,
+                                   l if layer is None else layer):
+                    c.start()
+
+    def cache_wait(g, buf_idx, sem_base):
+        for rows in variants:
+            @when_variant(rows)
+            def _wait():
+                for c in cache_dma(g, buf_idx, sem_base, rows, l):
+                    c.wait()
 
     @pl.when(l == 0)
     def _prologue():
@@ -77,8 +120,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
         dma(sao_hbm.at[0], sao_buf, 3).start()
         dma(ffp_hbm.at[0], ffp_buf, 6).start()
         dma(ffo_hbm.at[0], ffo_buf, 7).start()
-        for c in cache_dma(0, 0, 8):
-            c.start()
+        cache_start(0, 0, 8)
 
     x = x_ref[...]  # [B, D] f32
 
@@ -97,18 +139,14 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     seg = (lane // d_head == head).astype(jnp.float32)          # [D, H]
     inv_sqrt = 1.0 / jnp.sqrt(jnp.float32(d_head))
     wrows = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
-    ones_row = jnp.ones((1, S), jnp.float32)
 
     base = (pos // 16) * 16
     for g in range(n_groups):
         buf = g % 2
         lo = g * gb
         if g + 1 < n_groups:
-            for c in cache_dma(g + 1, (g + 1) % 2, 8 + 2 * ((g + 1) % 2)):
-                c.start()
-        kd, vd = cache_dma(g, buf, 8 + 2 * buf)
-        kd.wait()
-        vd.wait()
+            cache_start(g + 1, (g + 1) % 2, 8 + 2 * ((g + 1) % 2))
+        cache_wait(g, buf, 8 + 2 * buf)
 
         k_new = qkv[lo:lo + gb, d_model:2 * d_model].astype(kbufs.dtype)
         v_new = qkv[lo:lo + gb, 2 * d_model:].astype(vbufs.dtype)
@@ -124,21 +162,29 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
             vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).start()
 
         # Per-slot attention (the proven single-stream pattern; per-slot
-        # values stay ~2MB so Mosaic never spills giant 3D vregs).
-        for b in range(gb):
-            q_b = qkv[lo + b: lo + b + 1, :d_model].astype(jnp.float32)
-            z = kbufs[buf, b].astype(jnp.float32) * q_b         # exact products
-            scores = dot_hi(z, seg)
-            scores = scores * inv_sqrt                          # [S, H]
-            vmask = valid_ref[:, lo + b: lo + b + 1] > 0      # [S, 1]
-            scores = jnp.where(vmask, scores, _NEG)
-            m = jnp.max(scores, axis=0, keepdims=True)
-            p = jnp.exp(scores - m)
-            probs = p / jnp.sum(p, axis=0, keepdims=True)
-            probs_w = probs.astype(wdt).astype(jnp.float32)     # round like XLA
-            pe = dot_hi(probs_w, seg.T)
-            w = pe * vbufs[buf, b].astype(jnp.float32)
-            attn_ref[lo + b: lo + b + 1, :] = dot_hi(ones_row, w)
+        # values stay ~2MB so Mosaic never spills giant 3D vregs). Only the
+        # DMAed row prefix is touched, so the half variant also halves the
+        # score/weight compute.
+        for rows in variants:
+            @when_variant(rows)
+            def _attend(rows=rows):
+                ones_row = jnp.ones((1, rows), jnp.float32)
+                for b in range(gb):
+                    q_b = qkv[lo + b: lo + b + 1, :d_model].astype(jnp.float32)
+                    kb = kbufs[buf, b, pl.ds(0, rows)].astype(jnp.float32)
+                    z = kb * q_b                                # exact products
+                    scores = dot_hi(z, seg)
+                    scores = scores * inv_sqrt                  # [rows, H]
+                    vmask = valid_ref[pl.ds(0, rows),
+                                      lo + b: lo + b + 1] > 0   # [rows, 1]
+                    scores = jnp.where(vmask, scores, _NEG)
+                    m = jnp.max(scores, axis=0, keepdims=True)
+                    p = jnp.exp(scores - m)
+                    probs = p / jnp.sum(p, axis=0, keepdims=True)
+                    probs_w = probs.astype(wdt).astype(jnp.float32)  # round like XLA
+                    pe = dot_hi(probs_w, seg.T)
+                    w = pe * vbufs[buf, b, pl.ds(0, rows)].astype(jnp.float32)
+                    attn_ref[lo + b: lo + b + 1, :] = dot_hi(ones_row, w)
 
         dma(kbufs.at[buf, :, pl.ds(base, 16)],
             kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()
@@ -155,8 +201,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     @pl.when(l < n_layers - 1)
     def _prefetch_cache0():
-        dma(kc_hbm.at[pl.ds(0, gb), l + 1], kbufs.at[0], 8).start()
-        dma(vc_hbm.at[pl.ds(0, gb), l + 1], vbufs.at[0], 9).start()
+        cache_start(0, 0, 8, layer=l + 1)
 
     # ---- cross-attention (1 head, per-slot K/V, full batch at once) ----
     hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
@@ -238,11 +283,24 @@ def decode_step_batched_pallas(
 
     norms = jnp.stack([dec.norm_self, dec.norm_xa_q, dec.norm_ff],
                       axis=1).astype(jnp.float32)
-    scal = write_row.astype(jnp.int32).reshape(1)
+
+    # Half-prefix cache streaming: when every slot's last valid row (and the
+    # write row) sits below s_half, DMA/attend only rows [0, s_half). The
+    # boundary must be a 16-row multiple >= the largest usable window base.
+    s_half = 320 if S >= 512 else 0
+    if s_half:
+        last_valid = jnp.max(
+            jnp.where(valid, jnp.arange(S, dtype=jnp.int32)[None, :], -1))
+        rows_needed = jnp.maximum(last_valid, write_row.astype(jnp.int32)) + 1
+        half_flag = (rows_needed <= s_half).astype(jnp.int32)
+    else:
+        half_flag = jnp.int32(0)
+    scal = jnp.stack([write_row.astype(jnp.int32), half_flag])
 
     kernel = functools.partial(
         _kernel, n_layers=c.dec_layers, n_batch=B, gb=gb, d_model=D,
-        n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps)
+        n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps,
+        s_half=s_half)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda l: tuple(0 for _ in blk))
     per_l = lambda *blk: pl.BlockSpec(

@@ -297,6 +297,38 @@ def test_prod_batched_decoder_step_interpret(rng, prod):
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
 
 
+@pytest.mark.parametrize("pos_off", [40, 340])  # half-prefix / full cache variants
+def test_prod_batched_decoder_step_variants_interpret(rng, prod, pos_off):
+    """Both cache-streaming variants (rows<=320 half-prefix, full 626) against
+    the vmapped XLA oracle at production shapes."""
+    from magpie_tts_tpu.models import decoder as decoder_mod
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step_batched import (
+        decode_step_batched_pallas)
+
+    c, w = prod
+    B = 8
+    xa_k, xa_v, k_cache, v_cache, enc_len, _ = _prod_step_inputs(rng, c,
+                                                                 batch=B)
+    pos = jnp.int32(c.context_frames + pos_off)
+    enc_lens = jnp.full((B,), 50, jnp.int32)
+    valid = (jnp.arange(c.max_seq)[None, :] <= pos) & jnp.ones((B, 1), bool)
+    x = jnp.asarray(rng.normal(0, 0.3, size=(B, c.d_model)).astype(np.float32))
+    x_pe = x + w.decoder.pos_emb[pos][None, :]
+
+    h_got, k_got, v_got = decode_step_batched_pallas(
+        x_pe, pos, valid, xa_k, xa_v, k_cache, v_cache, w, c, enc_lens,
+        interpret=True)
+    h_ref, k_ref, v_ref = jax.vmap(
+        lambda xx, vm, xk, xv, kc, vc, el: decoder_mod.decode_step_masked(
+            xx, pos, pos, vm, xk, xv, kc, vc, w, c, enc_length=el),
+        in_axes=(0, 0, 0, 0, 0, 0, 0))(
+        x, valid, xa_k, xa_v, k_cache, v_cache, enc_lens)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
+                               atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
+
+
 def test_batched_lt_sampler_greedy_parity(rng):
     """Batched fused LT sampler == vmapped XLA path at temp=0 (bit-exact)."""
     from magpie_tts_tpu.ops.pallas_kernels.lt_sampler_batched import (
