@@ -159,6 +159,14 @@ def res_layer(x: jnp.ndarray, branches, dilations,
         from ..ops.pallas_kernels import codec_conv as cc
 
         p = cc.pick_pack(C, C)
+        if C <= 128:
+            # Mid/small stages (<= 128 lanes, packed or not): the whole
+            # layer runs as ONE kernel with VMEM-resident weights —
+            # 18x less activation HBM traffic (codec_res_fused.py).
+            from ..ops.pallas_kernels.codec_res_fused import res_layer_fused
+
+            return jax.vmap(lambda xs: res_layer_fused(
+                xs, branches, dilations, leaky_slope))(x)
         if p > 1:
             return _res_layer_packed(x, branches, dilations, leaky_slope, p)
     acc = None

@@ -276,6 +276,8 @@ def synthesize_codes_batched_program(
     from ..ops.pallas_kernels.lt_sampler_batched import batched_shapes_ok
     use_pallas_lt = (use_pallas_default(config)
                      and batched_shapes_ok(tokens.shape[0]))
+    use_fused = (use_pallas_lt and use_pallas_decoder
+                 and not os.environ.get("MAGPIE_NO_FUSED"))
 
     xa_k, xa_v, st = jax.vmap(
         lambda t, el, sp: prepare(t, el, sp, weights, config)
@@ -302,6 +304,38 @@ def synthesize_codes_batched_program(
         forbid_eos = s.frame_idx < config.min_generated_frames
         split = jax.vmap(jax.random.split, out_axes=1)(s.keys)
         keys, subkeys = split[0], split[1]
+        if use_fused:
+            # One pallas call per frame: LT sampling + embedding + decoder
+            # (ops/pallas_kernels/frame_step_batched.py). The kernel decides
+            # the new cache row's validity itself (may_continue & ~is_eos).
+            from ..ops.pallas_kernels.frame_step_batched import (
+                frame_step_batched_pallas)
+
+            B = s.hidden.shape[0]
+            pos = jnp.int32(config.context_frames + 1) + s.step
+            seed = jax.lax.bitcast_convert_type(subkeys[0, 0], jnp.int32)
+            valid = (jnp.arange(config.max_seq)[None, :] <= pos) & \
+                jnp.ones((B, 1), bool)
+            posemb = jnp.broadcast_to(
+                weights.decoder.pos_emb[pos][None, :].astype(dtype),
+                (B, config.d_model))
+            sampled, argmax, hidden, k_cache, v_cache = \
+                frame_step_batched_pallas(
+                    s.hidden, pos, valid, ~s.done, posemb, xa_k, xa_v,
+                    s.k_cache, s.v_cache, weights, config, enc_lengths,
+                    seed, temperature, top_k, forbid_eos,
+                    int8_stream=int8_stream)
+            is_eos = jax.vmap(
+                lambda sm, am: sampling.frame_has_eos(
+                    sm, am, config.audio_eos_id))(sampled, argmax)
+            done = s.done | is_eos
+            codes = jax.lax.dynamic_update_slice(
+                s.codes, sampled[:, None, :], (0, s.step, 0))
+            frame_idx = jnp.where(done, s.frame_idx, s.frame_idx + 1)
+            return BatchedDecodeState(
+                k_cache=k_cache, v_cache=v_cache, hidden=hidden,
+                step=s.step + 1, frame_idx=frame_idx, codes=codes,
+                done=done, keys=keys)
         if use_pallas_lt:
             from ..ops.pallas_kernels.lt_sampler_batched import (
                 sample_frame_codes_batched_pallas)

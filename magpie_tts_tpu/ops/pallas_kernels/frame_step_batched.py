@@ -1,0 +1,577 @@
+"""Batched fused frame kernel: LT sampling + embedding + decoder, B slots.
+
+The batched serving loops (lockstep `models/magpie.py` and continuous-batching
+`parallel/continuous.py`) previously issued TWO pallas calls per frame
+(lt_sampler_batched + decoder_step_batched) with ~0.6ms of XLA glue between
+them per step at B=32: the 8-table embedding gather, the position-embedding
+add, the validity-mask rebuild, plus two kernel launches that strictly
+serialize on the TensorCore. This kernel runs the whole frame in ONE
+pallas_call, grid = (8 LT codebook phases + 12 decoder layers,):
+
+- the LT phases are `lt_sampler_batched`'s flat-buffer design ([B*16, lt_dim]
+  sequence scratch, shared-weight MXU contractions, block-diagonal causal
+  attention, bisection top-k, Gumbel-max) — while decoder layer-0's weight and
+  KV-cache DMAs already stream underneath them (the fusion win: the ~60us of
+  LT compute hides under the decoder's HBM floor);
+- each phase also accumulates the sampled code's FULL d_model embedding row
+  (one-hot matmul against the per-codebook table, exact) so the decoder seed
+  `mean/8 + pos_emb` (reference magpie.cpp:1434 scale) is produced in-kernel —
+  no XLA gather between sampling and decoding;
+- the LT feedback row is the in-kernel projection of that embedding
+  (`emb @ in_proj_w + b`, the single-stream frame_step.py formula) — the
+  pre-projected table input of lt_sampler_batched is not needed;
+- EOS is detected in-kernel (`argmax_or_multinomial_any`, magpie.cpp:2706-2715)
+  to decide the NEW cache row's attention validity per slot:
+  `may_continue & ~is_eos` — callers no longer pre-commit the new row into the
+  validity mask (they re-derive it from the returned codes for loop state);
+- the decoder phases are `decoder_step_batched`'s grouped double-buffered
+  cache streaming, including the valid-length-aware half-prefix variant.
+
+Greedy (temp=0) parity bar: bit-exact with the two-kernel path (which is
+bit-exact with the vmapped XLA oracle) — pinned by
+tests/test_pallas_kernels.py at production (357M) shapes in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import dot_hi, gelu_kernel
+from .lt_sampler import _pad_rows_to_16
+
+_SEQ = 16       # padded per-slot LT sequence rows (9 used)
+_NEG = -1e30
+_BISECT_ITERS = 24
+
+
+def _ln(x, w, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    return (c / jnp.sqrt(var + eps)) * w.astype(jnp.float32)
+
+
+def _kernel(hidden_ref, posemb_ref,
+            # LT weights
+            lt_inw_ref, lt_inb_ref, lt_pos_ref, lt_ns_ref, lt_qkv_ref,
+            lt_sao_ref, lt_nf_ref, lt_ffp_ref, lt_ffo_ref, lt_ow_ref,
+            lt_ob_ref, emb_tbl_ref, forbid_ref, maycont_ref,
+            # decoder per-layer VMEM blocks
+            norms_ref, final_norm_ref, xa_q_ref, xa_out_ref, xa_k_ref,
+            xa_v_ref, valid_ref, enc_len_ref,
+            # scalars
+            temp_ref, flags_ref, scal_ref,
+            qkv_s_ref, sao_s_ref, ffp_s_ref, ffo_s_ref,
+            # HBM
+            qkv_hbm, sao_hbm, ffp_hbm, ffo_hbm, kc_hbm, vc_hbm,
+            # outputs
+            sampled_ref, argmax_ref, hidden_out_ref, kc_out, vc_out,
+            # scratch
+            seq_ref, emb_acc, valid_sc, x_ref, attn_ref,
+            qkv_sc, sao_buf, ffp_buf, ffo_buf, kbufs, vbufs, sems, *,
+            n_cb: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
+            audio_bos_id: int, audio_eos_id: int,
+            n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
+            d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int,
+            use_prng: bool):
+    i = pl.program_id(0)
+    pos = scal_ref[0]
+    B = n_batch
+    R = B * _SEQ
+    wdt = hidden_ref.dtype
+    n_groups = n_batch // gb
+    S = max_seq
+    cascade = 0 < s_half < S
+    variants = (s_half, S) if cascade else (S,)
+
+    def in_variant(rows):
+        if not cascade:
+            return None
+        half = scal_ref[1] > 0
+        return half if rows == s_half else ~half
+
+    def when_variant(rows):
+        cond = in_variant(rows)
+        if cond is None:
+            return lambda f: f()
+        return pl.when(cond)
+
+    def dma(src, dst, sem_idx):
+        return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
+
+    def cache_dma(g, buf_idx, sem_base, rows, layer):
+        lo = g * gb
+        if rows == S:
+            return (dma(kc_hbm.at[pl.ds(lo, gb), layer], kbufs.at[buf_idx],
+                        sem_base),
+                    dma(vc_hbm.at[pl.ds(lo, gb), layer], vbufs.at[buf_idx],
+                        sem_base + 1))
+        return (dma(kc_hbm.at[pl.ds(lo, gb), layer, pl.ds(0, rows)],
+                    kbufs.at[buf_idx, :, pl.ds(0, rows)], sem_base),
+                dma(vc_hbm.at[pl.ds(lo, gb), layer, pl.ds(0, rows)],
+                    vbufs.at[buf_idx, :, pl.ds(0, rows)], sem_base + 1))
+
+    def cache_start(g, buf_idx, sem_base, layer):
+        for rows in variants:
+            @when_variant(rows)
+            def _start():
+                for c in cache_dma(g, buf_idx, sem_base, rows, layer):
+                    c.start()
+
+    def cache_wait(g, buf_idx, sem_base, layer):
+        for rows in variants:
+            @when_variant(rows)
+            def _wait():
+                for c in cache_dma(g, buf_idx, sem_base, rows, layer):
+                    c.wait()
+
+    # ---- prologue: decoder layer-0 streams start UNDER the LT phases ----
+    @pl.when(i == 0)
+    def _prologue():
+        emb_acc[...] = jnp.zeros_like(emb_acc)
+        dma(qkv_hbm.at[0], qkv_sc, 0).start()
+        dma(sao_hbm.at[0], sao_buf, 3).start()
+        dma(ffp_hbm.at[0], ffp_buf, 6).start()
+        dma(ffo_hbm.at[0], ffo_buf, 7).start()
+        cache_start(0, 0, 8, 0)
+
+    # ======================= LT phases (i in [0, n_cb)) =====================
+    @pl.when(i < n_cb)
+    def _lt_phase():
+        cb = i
+        in_b = lt_inb_ref[0, :].astype(jnp.float32)
+
+        @pl.when(cb == 0)
+        def _init():
+            proj = dot_hi(hidden_ref[...], lt_inw_ref[...]) + in_b   # [B, lt]
+            rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            scat = ((rws // _SEQ ==
+                     jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
+                    & (rws % _SEQ == 0)).astype(jnp.float32)         # [R, B]
+            seq_ref[...] = dot_hi(scat, proj.astype(jnp.float32)).astype(wdt)
+
+        x = (seq_ref[...].astype(jnp.float32)
+             + lt_pos_ref[...].astype(jnp.float32))
+        h = _ln(x, lt_ns_ref[0, :], eps).astype(wdt)
+        qkv = dot_hi(h, lt_qkv_ref[...])                             # [R, 3lt]
+        k = qkv[:, lt_dim:2 * lt_dim].astype(wdt)
+        v = qkv[:, 2 * lt_dim:].astype(wdt)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
+        sel = ((rows // _SEQ == slot) & (rows % _SEQ == cb)
+               ).astype(jnp.float32)
+        q_sel = dot_hi(sel, qkv[:, :lt_dim]).astype(wdt)             # [B, lt]
+        x_sel = dot_hi(sel, x)                                       # [B, lt]
+
+        scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))
+        scores = dot_hi(q_sel, k.T) * scale                          # [B, R]
+        visible = (rows // _SEQ == slot) & (rows % _SEQ <= cb)
+        scores = jnp.where(visible, scores, _NEG)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(wdt)
+        attn = dot_hi(probs, v)
+        x1 = x_sel + dot_hi(attn.astype(wdt), lt_sao_ref[...])
+        h2 = _ln(x1, lt_nf_ref[0, :], eps).astype(wdt)
+        ff = dot_hi(h2, lt_ffp_ref[...])
+        ff = gelu_kernel(ff, approximate=False).astype(wdt)
+        x2 = x1 + dot_hi(ff, lt_ffo_ref[...])
+
+        logits = dot_hi(x2.astype(wdt), lt_ow_ref[0])                # [B, vocab]
+        logits = logits + lt_ob_ref[0].astype(jnp.float32)
+
+        ids = jax.lax.broadcasted_iota(jnp.int32, (B, vocab), 1)
+        forbidden = (ids == audio_bos_id) | \
+                    ((ids >= audio_bos_id + 2) & (ids <= audio_bos_id + 7))
+        forbid_eos = forbid_ref[...] > 0
+        forbidden = forbidden | (forbid_eos & (ids == audio_eos_id))
+        logits = jnp.where(forbidden, _NEG, logits)
+
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        amax = jnp.min(jnp.where(logits == row_max, ids, vocab),
+                       axis=-1).astype(jnp.int32)                    # [B]
+
+        temp = temp_ref[0]
+        lo = jnp.min(jnp.where(forbidden, jnp.float32(3.4e38), logits),
+                     axis=-1, keepdims=True)
+        hi = row_max + 1.0
+        for _ in range(_BISECT_ITERS):
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((logits >= mid).astype(jnp.int32), axis=-1,
+                          keepdims=True)
+            ok = cnt >= top_k
+            lo = jnp.where(ok, mid, lo)
+            hi = jnp.where(ok, hi, mid)
+        in_topk = logits >= lo
+
+        if use_prng:
+            pltpu.prng_seed(flags_ref[0] * jnp.int32(n_cb) + cb)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((B, vocab)), jnp.int32)
+            u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
+                1.0 / (1 << 24))
+            u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
+            gumbel = -jnp.log(-jnp.log(u))
+        else:
+            gumbel = jnp.zeros((B, vocab), jnp.float32)
+        safe_temp = jnp.maximum(temp, 0.01)
+        z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
+        z_max = jnp.max(z, axis=-1, keepdims=True)
+        drawn = jnp.min(jnp.where(z == z_max, ids, vocab),
+                        axis=-1).astype(jnp.int32)
+
+        greedy = temp < 0.01
+        code = jnp.where(greedy, amax, drawn)                        # [B]
+
+        out_row = jax.lax.broadcasted_iota(jnp.int32, (n_cb, B), 0)
+        sampled_ref[...] = jnp.where(out_row == cb, code[None, :],
+                                     sampled_ref[...])
+        argmax_ref[...] = jnp.where(out_row == cb, amax[None, :],
+                                    argmax_ref[...])
+
+        # Full-d_model embedding row of the sampled code (exact one-hot
+        # gather), accumulated for the decoder seed.
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
+        onehot = (cols == code[:, None]).astype(jnp.float32)
+        emb = dot_hi(onehot, emb_tbl_ref[0].astype(jnp.float32))     # [B, D]
+        emb_acc[...] += emb
+
+        @pl.when(cb < n_cb - 1)
+        def _feedback():
+            proj = dot_hi(emb.astype(wdt), lt_inw_ref[...]) + in_b   # [B, lt]
+            rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            scat = ((rws // _SEQ ==
+                     jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
+                    & (rws % _SEQ == cb + 1)).astype(jnp.float32)
+            ins = dot_hi(scat, proj).astype(wdt)
+            seq_ref[...] = jnp.where(rws % _SEQ == cb + 1, ins, seq_ref[...])
+
+        @pl.when(cb == n_cb - 1)
+        def _transition():
+            # In-kernel EOS (any codebook, sampled or argmax —
+            # sampling.frame_has_eos) decides the new row's validity.
+            eos_hits = ((sampled_ref[...] == audio_eos_id)
+                        | (argmax_ref[...] == audio_eos_id)).astype(jnp.int32)
+            eos_col = (jnp.sum(eos_hits, axis=0, keepdims=True) > 0
+                       ).astype(jnp.int32)                           # [1, B]
+            newcol = maycont_ref[...] * (1 - eos_col)                # [1, B]
+            srows = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+            valid_sc[...] = jnp.where(srows == pos, newcol, valid_ref[...])
+
+            # Decoder seed with the XLA path's rounding points:
+            # mean rounds to wdt, the pos-emb add happens in wdt.
+            mean = (emb_acc[...] * (1.0 / n_cb)).astype(wdt).astype(jnp.float32)
+            x0 = mean + posemb_ref[...].astype(jnp.float32)
+            x_ref[...] = x0.astype(wdt).astype(jnp.float32)
+
+    # ==================== decoder phases (i in [n_cb, n_cb+L)) ==============
+    @pl.when(i >= n_cb)
+    def _decoder_phase():
+        l = i - n_cb
+        d_head = d_model // n_heads
+
+        x = x_ref[...]  # [B, D] f32
+
+        h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
+        dma(qkv_hbm.at[l], qkv_sc, 0).wait()
+        qkv = dot_hi(h, qkv_sc[...].astype(wdt))                    # [B, 3D]
+        qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_qkv():
+            dma(qkv_hbm.at[l + 1], qkv_sc, 0).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
+        head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
+        seg = (lane // d_head == head).astype(jnp.float32)          # [D, H]
+        inv_sqrt = 1.0 / jnp.sqrt(jnp.float32(d_head))
+        wrows = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+
+        base = (pos // 16) * 16
+        for g in range(n_groups):
+            buf = g % 2
+            lo = g * gb
+            if g + 1 < n_groups:
+                cache_start(g + 1, (g + 1) % 2, 8 + 2 * ((g + 1) % 2), l)
+            cache_wait(g, buf, 8 + 2 * buf, l)
+
+            k_new = qkv[lo:lo + gb, d_model:2 * d_model].astype(kbufs.dtype)
+            v_new = qkv[lo:lo + gb, 2 * d_model:].astype(vbufs.dtype)
+            kbufs[buf, :, pl.ds(base, 16), :] = jnp.where(
+                wrows + base == pos, k_new[:, None, :],
+                kbufs[buf, :, pl.ds(base, 16), :])
+            vbufs[buf, :, pl.ds(base, 16), :] = jnp.where(
+                wrows + base == pos, v_new[:, None, :],
+                vbufs[buf, :, pl.ds(base, 16), :])
+            dma(kbufs.at[buf, :, pl.ds(base, 16)],
+                kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).start()
+            dma(vbufs.at[buf, :, pl.ds(base, 16)],
+                vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).start()
+
+            for rows in variants:
+                @when_variant(rows)
+                def _attend(rows=rows):
+                    ones_row = jnp.ones((1, rows), jnp.float32)
+                    for b in range(gb):
+                        q_b = qkv[lo + b: lo + b + 1,
+                                  :d_model].astype(jnp.float32)
+                        kb = kbufs[buf, b, pl.ds(0, rows)].astype(jnp.float32)
+                        z = kb * q_b
+                        scores = dot_hi(z, seg)
+                        scores = scores * inv_sqrt                  # [rows, H]
+                        vmask = valid_sc[pl.ds(0, rows),
+                                         lo + b: lo + b + 1] > 0
+                        scores = jnp.where(vmask, scores, _NEG)
+                        m = jnp.max(scores, axis=0, keepdims=True)
+                        p = jnp.exp(scores - m)
+                        probs = p / jnp.sum(p, axis=0, keepdims=True)
+                        probs_w = probs.astype(wdt).astype(jnp.float32)
+                        pe = dot_hi(probs_w, seg.T)
+                        w = pe * vbufs[buf, b, pl.ds(0, rows)
+                                       ].astype(jnp.float32)
+                        attn_ref[lo + b: lo + b + 1, :] = dot_hi(ones_row, w)
+
+            dma(kbufs.at[buf, :, pl.ds(base, 16)],
+                kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()
+            dma(vbufs.at[buf, :, pl.ds(base, 16)],
+                vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).wait()
+
+        dma(sao_hbm.at[l], sao_buf, 3).wait()
+        x = x + (dot_hi(attn_ref[...].astype(wdt), sao_buf[...].astype(wdt))
+                 * sao_s_ref[0].astype(jnp.float32))
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_sao():
+            dma(sao_hbm.at[l + 1], sao_buf, 3).start()
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_cache0():
+            cache_start(0, 0, 8, l + 1)
+
+        # ---- cross-attention (1 head, per-slot K/V) ----
+        hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
+        q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt).astype(jnp.float32)
+        zx = (xa_k_ref[:, 0].astype(jnp.float32) * q2[:, None, :])
+        sx = jnp.sum(zx, axis=2) * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
+        erow = jax.lax.broadcasted_iota(jnp.int32, (1, enc_pad), 1)
+        sx = jnp.where(erow < enc_len_ref[...], sx, _NEG)
+        mx = jnp.max(sx, axis=1, keepdims=True)
+        px = jnp.exp(sx - mx)
+        px = px / jnp.sum(px, axis=1, keepdims=True)
+        px_w = px.astype(wdt).astype(jnp.float32)
+        wv = px_w[:, :, None] * xa_v_ref[:, 0].astype(jnp.float32)
+        xa = jnp.sum(wv, axis=1).astype(wdt)
+        x = x + dot_hi(xa, xa_out_ref[0])
+
+        # ---- FFN ----
+        hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
+        dma(ffp_hbm.at[l], ffp_buf, 6).wait()
+        f = (dot_hi(hf, ffp_buf[...].astype(wdt))
+             * ffp_s_ref[0].astype(jnp.float32))
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_ffp():
+            dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
+
+        f = gelu_kernel(f, approximate=False).astype(wdt)
+        dma(ffo_hbm.at[l], ffo_buf, 7).wait()
+        x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
+                 * ffo_s_ref[0].astype(jnp.float32))
+
+        @pl.when(l < n_layers - 1)
+        def _prefetch_ffo():
+            dma(ffo_hbm.at[l + 1], ffo_buf, 7).start()
+
+        x_ref[...] = x
+
+        @pl.when(l == n_layers - 1)
+        def _emit():
+            hidden_out_ref[...] = _ln(x, final_norm_ref[0], eps
+                                      ).astype(hidden_out_ref.dtype)
+
+
+def frame_step_batched_pallas(
+        hidden: jnp.ndarray, write_row: jnp.ndarray, valid: jnp.ndarray,
+        may_continue: jnp.ndarray, posemb: jnp.ndarray,
+        xa_k: jnp.ndarray, xa_v: jnp.ndarray,
+        k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+        weights, config, enc_lengths: jnp.ndarray,
+        seed: jnp.ndarray, temperature: jnp.ndarray, top_k: int,
+        forbid_eos: jnp.ndarray,
+        int8_stream=None, interpret: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One full batched frame: sample 8 codes per slot, embed, run the decoder.
+
+    hidden: [B, d_model] previous decoder outputs; write_row: scalar i32 cache
+    row every slot's new K/V lands in; valid: [B, max_seq] bool membership of
+    EXISTING rows (the kernel sets column ``write_row`` itself to
+    ``may_continue & ~is_eos`` per slot); may_continue: [B] bool (lockstep:
+    ~done; continuous: alive & within budget); posemb: [B, d_model] per-slot
+    position-embedding rows (compute dtype); forbid_eos: [B] bool.
+
+    Returns (sampled [B, 8], argmax [B, 8], hidden [B, d_model],
+    k_cache, v_cache); caches [B, L, max_seq, d_model] update in place.
+    """
+    dec = weights.decoder
+    lt = weights.lt
+    c = config
+    dtype = weights.text_emb.dtype
+    B, L, S, D = k_cache.shape
+    E = xa_k.shape[2]
+    gb = min(B, 8)
+    assert B % gb == 0, (B, gb)
+    top_k = min(top_k, c.vocab_per_cb)
+    n_cb = c.num_codebooks
+
+    if int8_stream is None:
+        qkv_w, sao_w = dec.qkv.astype(dtype), dec.sa_out.astype(dtype)
+        ffp_w, ffo_w = dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype)
+        ones = lambda n: jnp.ones((c.dec_layers, n), jnp.float32)
+        qkv_s, sao_s = ones(3 * D), ones(D)
+        ffp_s, ffo_s = ones(c.d_ffn), ones(D)
+        stream_dtype = dtype
+    else:
+        s = int8_stream
+        qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
+        qkv_s, sao_s, ffp_s, ffo_s = s.qkv_s, s.sa_out_s, s.ff_proj_s, s.ff_out_s
+        stream_dtype = jnp.int8
+
+    emb_tbl = _pad_rows_to_16(weights.audio_emb.astype(dtype))
+    vocab_pad = emb_tbl.shape[1]
+    pos_pad = jnp.zeros((_SEQ, c.lt_dim), dtype).at[: c.lt_max_pos].set(
+        lt.pos_emb.astype(dtype)[:_SEQ])
+    pos_tiled = jnp.tile(pos_pad, (B, 1))
+
+    norms = jnp.stack([dec.norm_self, dec.norm_xa_q, dec.norm_ff],
+                      axis=1).astype(jnp.float32)
+
+    # Half-prefix cache streaming (decoder_step_batched.py contract): valid
+    # covers existing rows; the new row is write_row, already the max bound.
+    s_half = 320 if S >= 512 else 0
+    if s_half:
+        last_valid = jnp.max(
+            jnp.where(valid, jnp.arange(S, dtype=jnp.int32)[None, :], -1))
+        rows_needed = jnp.maximum(last_valid, write_row.astype(jnp.int32)) + 1
+        half_flag = (rows_needed <= s_half).astype(jnp.int32)
+    else:
+        half_flag = jnp.int32(0)
+    scal = jnp.stack([write_row.astype(jnp.int32), half_flag])
+    temp_arr = temperature.astype(jnp.float32).reshape(1)
+    flags = seed.astype(jnp.int32).reshape(1)
+
+    grid = (n_cb + c.dec_layers,)
+    kernel = functools.partial(
+        _kernel, n_cb=n_cb, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
+        vocab_pad=vocab_pad, top_k=top_k, audio_bos_id=c.audio_bos_id,
+        audio_eos_id=c.audio_eos_id, n_layers=c.dec_layers, n_batch=B, gb=gb,
+        d_model=D, n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E,
+        eps=c.eps, s_half=s_half, use_prng=not interpret)
+
+    const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
+    lt_blk = lambda *blk: pl.BlockSpec(
+        blk, lambda i: (jnp.minimum(i, n_cb - 1),) + tuple(0 for _ in blk[1:]))
+    dec_blk = lambda *blk: pl.BlockSpec(
+        blk, lambda i: (jnp.clip(i - n_cb, 0, c.dec_layers - 1),) +
+        tuple(0 for _ in blk[1:]))
+
+    sampled, argmax, hidden_out, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((n_cb, B), jnp.int32),
+                   jax.ShapeDtypeStruct((n_cb, B), jnp.int32),
+                   jax.ShapeDtypeStruct((B, D), dtype),
+                   jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)),
+        in_specs=[
+            const(B, D),                        # hidden
+            const(B, D),                        # posemb rows
+            const(D, c.lt_dim),                 # lt in_proj_w
+            const(1, c.lt_dim),                 # lt in_proj_b
+            const(B * _SEQ, c.lt_dim),          # lt pos emb (tiled)
+            const(1, c.lt_dim),                 # lt norm_self
+            const(c.lt_dim, 3 * c.lt_dim),      # lt qkv
+            const(c.lt_dim, c.lt_dim),          # lt sa_out
+            const(1, c.lt_dim),                 # lt norm_ff
+            const(c.lt_dim, c.lt_ffn_dim),      # lt ff_proj
+            const(c.lt_ffn_dim, c.lt_dim),      # lt ff_out
+            lt_blk(1, c.lt_dim, c.vocab_per_cb),    # lt out_proj_w
+            lt_blk(1, 1, c.vocab_per_cb),           # lt out_proj_b
+            lt_blk(1, vocab_pad, D),            # audio embedding table
+            const(B, 1),                        # forbid_eos
+            const(1, B),                        # may_continue
+            dec_blk(1, 3, D),                   # norms
+            const(1, D),                        # final norm
+            dec_blk(1, D, c.d_xa),              # xa_q
+            dec_blk(1, c.d_xa, D),              # xa_out
+            pl.BlockSpec((B, 1, E, c.d_xa),
+                         lambda i: (0, jnp.clip(i - n_cb, 0,
+                                                c.dec_layers - 1), 0, 0)),
+            pl.BlockSpec((B, 1, E, c.d_xa),
+                         lambda i: (0, jnp.clip(i - n_cb, 0,
+                                                c.dec_layers - 1), 0, 0)),
+            const(S, B),                        # valid (i32, transposed)
+            const(B, 1),                        # enc_lengths
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # flags [seed]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [row, half]
+            dec_blk(1, 1, 3 * D),               # qkv scales
+            dec_blk(1, 1, D),                   # sa_out scales
+            dec_blk(1, 1, c.d_ffn),             # ff_proj scales
+            dec_blk(1, 1, D),                   # ff_out scales
+            pl.BlockSpec(memory_space=pltpu.HBM),    # qkv
+            pl.BlockSpec(memory_space=pltpu.HBM),    # sao
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ffp
+            pl.BlockSpec(memory_space=pltpu.HBM),    # ffo
+            pl.BlockSpec(memory_space=pltpu.HBM),    # k cache in
+            pl.BlockSpec(memory_space=pltpu.HBM),    # v cache in
+        ],
+        out_specs=(pl.BlockSpec((n_cb, B), lambda i: (0, 0)),
+                   pl.BlockSpec((n_cb, B), lambda i: (0, 0)),
+                   const(B, D),
+                   pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
+        input_output_aliases={35: 3, 36: 4},
+        scratch_shapes=[
+            pltpu.VMEM((B * _SEQ, c.lt_dim), dtype),   # LT flat seq buffers
+            pltpu.VMEM((B, D), jnp.float32),           # embedding accumulator
+            pltpu.VMEM((S, B), jnp.int32),             # valid incl. new row
+            pltpu.VMEM((B, D), jnp.float32),           # x carry
+            pltpu.VMEM((B, D), jnp.float32),           # attention out
+            pltpu.VMEM((D, 3 * D), stream_dtype),      # qkv weights
+            pltpu.VMEM((D, D), stream_dtype),          # sa_out
+            pltpu.VMEM((D, c.d_ffn), stream_dtype),    # ff_proj
+            pltpu.VMEM((c.d_ffn, D), stream_dtype),    # ff_out
+            pltpu.VMEM((2, gb, S, D), k_cache.dtype),  # k group bufs
+            pltpu.VMEM((2, gb, S, D), v_cache.dtype),  # v group bufs
+            pltpu.SemaphoreType.DMA((14,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(hidden.astype(dtype), posemb.astype(dtype),
+      lt.in_proj_w.astype(dtype), lt.in_proj_b.astype(dtype).reshape(1, -1),
+      pos_tiled, lt.norm_self.astype(dtype).reshape(1, -1),
+      lt.qkv.astype(dtype), lt.sa_out.astype(dtype),
+      lt.norm_ff.astype(dtype).reshape(1, -1),
+      lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),
+      lt.out_proj_w.astype(dtype),
+      lt.out_proj_b.astype(jnp.float32).reshape(n_cb, 1, -1),
+      emb_tbl, forbid_eos.astype(jnp.int32).reshape(B, 1),
+      may_continue.astype(jnp.int32).reshape(1, B),
+      norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
+      dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
+      xa_k.astype(dtype), xa_v.astype(dtype),
+      valid.T.astype(jnp.int32), enc_lengths.astype(jnp.int32).reshape(B, 1),
+      temp_arr, flags, scal,
+      qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
+      qkv_w, sao_w, ffp_w, ffo_w, k_cache, v_cache)
+
+    return sampled.T, argmax.T, hidden_out, k_out, v_out

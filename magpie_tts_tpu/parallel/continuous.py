@@ -24,6 +24,7 @@ SURVEY.md section 2.5).
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections import deque
 from typing import Dict, List, Optional, Sequence
 
@@ -182,6 +183,42 @@ class ContinuousBatchingEngine:
                     keys, subkeys = split[0], split[1]
                     from ..ops.pallas_kernels.lt_sampler_batched import (
                         batched_shapes_ok, sample_frame_codes_batched_pallas)
+
+                    use_fused = (magpie_mod.use_pallas_default(config)
+                                 and batched_shapes_ok(self.n_slots)
+                                 and not os.environ.get("MAGPIE_NO_FUSED"))
+                    if use_fused:
+                        # Fused frame kernel: LT sampling + embedding + decoder
+                        # in one pallas call; the kernel sets ring row r's
+                        # validity to may_continue & ~is_eos per slot (the same
+                        # `counts` the XLA bookkeeping below re-derives).
+                        from ..ops.pallas_kernels.frame_step_batched import (
+                            frame_step_batched_pallas)
+
+                        seed = jax.lax.bitcast_convert_type(
+                            subkeys[0, 0], jnp.int32)
+                        may_continue = alive & (
+                            frame_count < config.max_dec_steps)
+                        lp = jnp.clip(logical_pos, 0, config.max_pos - 1)
+                        posemb = weights.decoder.pos_emb[lp].astype(dtype)
+                        (sampled, argmax, hidden, k_cache, v_cache) = \
+                            frame_step_batched_pallas(
+                                hidden, r, valid, may_continue, posemb,
+                                xa_k, xa_v, k_cache, v_cache, weights, config,
+                                enc_lengths, seed, temperature, top_k, forbid)
+                        is_eos = jax.vmap(
+                            lambda s, a: sampling.frame_has_eos(
+                                s, a, config.audio_eos_id))(sampled, argmax)
+                        codes_seg = jax.lax.dynamic_update_slice(
+                            codes_seg, sampled[None], (j, 0, 0))
+                        counts = may_continue & ~is_eos
+                        frame_count = frame_count + counts.astype(jnp.int32)
+                        done = done | (active & is_eos)
+                        valid = jax.lax.dynamic_update_slice(
+                            valid, counts[:, None], (0, r))
+                        logical_pos = logical_pos + counts.astype(jnp.int32)
+                        return (k_cache, v_cache, hidden, valid, logical_pos,
+                                frame_count, done, keys, codes_seg)
 
                     if (magpie_mod.use_pallas_default(config)
                             and batched_shapes_ok(self.n_slots)):

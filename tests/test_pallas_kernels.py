@@ -105,18 +105,72 @@ def test_packed_res_layer_matches_unpacked(rng):
     stage = cw.stages[-1]  # C=27 -> packed p=4
     T = 130
     x = jnp.asarray(rng.normal(0, 0.5, size=(1, T, 27)).astype(np.float32))
-    # interpret-mode packed path: patch the kernel entry to interpret
+    # interpret-mode pallas path: patch the kernel entries to interpret
     from magpie_tts_tpu.ops.pallas_kernels import codec_conv as cc
+    from magpie_tts_tpu.ops.pallas_kernels import codec_res_fused as crf
     orig = cc.snake_causal_conv
+    orig_f = crf.res_layer_fused
     cc.snake_causal_conv = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    crf.res_layer_fused = lambda *a, **kw: orig_f(*a, **{**kw, "interpret": True})
     try:
         got = cm.res_layer(x, stage.resblocks, cfg.resblock_dilations, 0.01,
                            use_pallas=True)
     finally:
         cc.snake_causal_conv = orig
+        crf.res_layer_fused = orig_f
     want = cm.res_layer(x, stage.resblocks, cfg.resblock_dilations, 0.01,
                         use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+@pytest.mark.parametrize("stage_idx,C", [(2, 108), (3, 54), (4, 27)])
+def test_fused_res_layer_matches_xla(rng, stage_idx, C):
+    """Fused whole-layer kernel (codec_res_fused) == XLA res_layer, for the
+    unpacked (C=108) and time-packed (C=54/27) mid stages, across a tile
+    boundary and a non-multiple T."""
+    from magpie_tts_tpu.config import CodecConfig
+    from magpie_tts_tpu.io.codec_weights import random_codec_weights
+    from magpie_tts_tpu.ops.pallas_kernels.codec_res_fused import (
+        res_layer_fused)
+
+    cfg = CodecConfig()
+    cw = random_codec_weights(cfg, seed=3)
+    stage = cw.stages[stage_idx]
+    T = 300  # > min tile 256 in the packed domain only for p=1; covers pads
+    x = jnp.asarray(rng.normal(0, 0.5, size=(T, C)).astype(np.float32))
+
+    got = res_layer_fused(x, stage.resblocks, cfg.resblock_dilations, 0.01,
+                          tile=256, interpret=True)
+
+    # Same tap order as the per-conv pallas composition (built from the
+    # internal per-conv paths, since res_layer itself now routes to the fused
+    # kernel): agreement to ~1 ulp.
+    from magpie_tts_tpu.ops.pallas_kernels import codec_conv as cc
+    orig = cc.snake_causal_conv
+    cc.snake_causal_conv = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        p = cc.pick_pack(C, C)
+        if p > 1:
+            want_p = cm._res_layer_packed(x[None], stage.resblocks,
+                                          cfg.resblock_dilations, 0.01, p)[0]
+        else:
+            acc = None
+            for branch in stage.resblocks:
+                h = x[None]
+                for blk, d in zip(branch, cfg.resblock_dilations):
+                    h = cm.residual_block(h, blk, d, 0.01, use_pallas=True)
+                acc = h if acc is None else acc + h
+            want_p = (acc / len(stage.resblocks))[0]
+    finally:
+        cc.snake_causal_conv = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_p), atol=1e-5)
+
+    # ...and within conv-accumulation-order noise of the XLA oracle (the
+    # same class of difference snake_causal_conv itself carries, compounded
+    # over the 6-conv chain).
+    want = cm.res_layer(x[None], stage.resblocks, cfg.resblock_dilations,
+                        0.01, use_pallas=False)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
 def test_decoder_step_int8_stream_matches_dequant_oracle(rng):
@@ -327,6 +381,59 @@ def test_prod_batched_decoder_step_variants_interpret(rng, prod, pos_off):
                                atol=2e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref), atol=1e-3)
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
+
+
+@pytest.mark.parametrize("pos_off", [40, 340])  # half-prefix / full variants
+def test_prod_frame_step_batched_interpret(rng, prod, pos_off):
+    """Fused batched frame kernel == the two-kernel path (LT sampler +
+    batched decoder step) at production shapes: bit-exact greedy codes, and
+    the kernel's in-kernel EOS/new-row-validity decision must match the
+    callers' XLA bookkeeping."""
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step_batched import (
+        decode_step_batched_pallas)
+    from magpie_tts_tpu.ops.pallas_kernels.frame_step_batched import (
+        frame_step_batched_pallas)
+    from magpie_tts_tpu.ops.pallas_kernels.lt_sampler_batched import (
+        sample_frame_codes_batched_pallas)
+
+    c, w = prod
+    B = 8
+    xa_k, xa_v, k_cache, v_cache, enc_len, _ = _prod_step_inputs(rng, c,
+                                                                 batch=B)
+    pos = jnp.int32(c.context_frames + pos_off)
+    enc_lens = jnp.full((B,), 50, jnp.int32)
+    valid = (jnp.arange(c.max_seq)[None, :] <= pos) & jnp.ones((B, 1), bool)
+    hidden = jnp.asarray(
+        rng.normal(0, 0.5, size=(B, c.d_model)).astype(np.float32))
+    maycont = jnp.ones((B,), bool)
+    forbid = jnp.zeros((B,), bool)
+    posemb = jnp.broadcast_to(w.decoder.pos_emb[pos][None, :], (B, c.d_model))
+
+    s_f, a_f, h_f, kc_f, vc_f = frame_step_batched_pallas(
+        hidden, pos, valid, maycont, posemb, xa_k, xa_v, k_cache, v_cache,
+        w, c, enc_lens, jnp.int32(7), jnp.float32(0.0), 80, forbid,
+        interpret=True)
+
+    s_r, a_r = sample_frame_codes_batched_pallas(
+        hidden, w, c, jnp.int32(7), jnp.float32(0.0), 80, forbid,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_r))
+    np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_r))
+
+    is_eos = jax.vmap(lambda sm, am: sampling.frame_has_eos(
+        sm, am, c.audio_eos_id))(s_r, a_r)
+    newcol = maycont & ~is_eos
+    valid_new = valid.at[:, pos].set(newcol)
+    emb = magpie_mod.audio_frame_embedding(s_r, w, c)
+    x_pe = emb + w.decoder.pos_emb[pos][None, :]
+    h_r, kc_r, vc_r = decode_step_batched_pallas(
+        x_pe, pos, valid_new, xa_k, xa_v, k_cache, v_cache, w, c, enc_lens,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r),
+                               atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(kc_f), np.asarray(kc_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vc_f), np.asarray(vc_r), atol=1e-3)
 
 
 def test_batched_lt_sampler_greedy_parity(rng):
