@@ -161,19 +161,31 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
         dma(vbufs.at[buf, :, pl.ds(base, 16)],
             vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).start()
 
-        # Per-slot attention (the proven single-stream pattern; per-slot
-        # values stay ~2MB so Mosaic never spills giant 3D vregs). Only the
-        # DMAed row prefix is touched, so the half variant also halves the
-        # score/weight compute.
+        # Per-slot attention, with the two big per-slot elementwise ops
+        # algebraically removed (both transforms are BIT-EXACT because seg is
+        # 0/1 and the contraction order is unchanged):
+        #   (K (.) q) @ seg        ==  K @ (q (.) seg)     -- [D,H] mul, not [rows,D]
+        #   ones @ ((p@segT)(.)V)  ==  ones_H @ ((pT V) (.) segT)
+        # Only the DMAed row prefix is touched, so the half variant also
+        # halves the score/weight compute.
+        # Operands stay in the cache dtype: for bf16 caches the products are
+        # exact in the f32 MXU accumulator, so single-pass bf16 dots are
+        # BIT-IDENTICAL to the 6-pass f32-HIGHEST dots of f32-upcast
+        # operands — at ~6x less MXU time. (f32 caches keep HIGHEST via
+        # dot_hi's dtype dispatch.)
         for rows in variants:
             @when_variant(rows)
             def _attend(rows=rows):
-                ones_row = jnp.ones((1, rows), jnp.float32)
+                ones_h = jnp.ones((1, n_heads), jnp.float32)
+                cdt = kbufs.dtype
+                hi = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
                 for b in range(gb):
                     q_b = qkv[lo + b: lo + b + 1, :d_model].astype(jnp.float32)
-                    kb = kbufs[buf, b, pl.ds(0, rows)].astype(jnp.float32)
-                    z = kb * q_b                                # exact products
-                    scores = dot_hi(z, seg)
+                    kb = kbufs[buf, b, pl.ds(0, rows)]
+                    qseg = (q_b.T * seg).astype(cdt)            # [D, H] exact
+                    scores = jnp.dot(kb, qseg,
+                                     preferred_element_type=jnp.float32,
+                                     precision=hi)
                     scores = scores * inv_sqrt                  # [rows, H]
                     vmask = valid_ref[pl.ds(0, rows),
                                       lo + b: lo + b + 1] > 0   # [rows, 1]
@@ -181,10 +193,14 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
                     m = jnp.max(scores, axis=0, keepdims=True)
                     p = jnp.exp(scores - m)
                     probs = p / jnp.sum(p, axis=0, keepdims=True)
-                    probs_w = probs.astype(wdt).astype(jnp.float32)  # round like XLA
-                    pe = dot_hi(probs_w, seg.T)
-                    w = pe * vbufs[buf, b, pl.ds(0, rows)].astype(jnp.float32)
-                    attn_ref[lo + b: lo + b + 1, :] = dot_hi(ones_row, w)
+                    probs_w = probs.astype(wdt).astype(cdt)     # round like XLA
+                    vb = vbufs[buf, b, pl.ds(0, rows)]
+                    pv = jax.lax.dot_general(
+                        probs_w, vb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=hi)                           # [H, D]
+                    attn_ref[lo + b: lo + b + 1, :] = dot_hi(
+                        ones_h, pv * seg.T)
 
         dma(kbufs.at[buf, :, pl.ds(base, 16)],
             kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()

@@ -237,10 +237,16 @@ def _kernel(hidden_ref, posemb_ref,
                                     argmax_ref[...])
 
         # Full-d_model embedding row of the sampled code (exact one-hot
-        # gather), accumulated for the decoder seed.
+        # gather — each output is a single 1.0 x value product), accumulated
+        # for the decoder seed. Native-dtype operands: single-pass for bf16
+        # tables, HIGHEST for f32 (default f32 dots truncate to bf16).
         cols = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
-        onehot = (cols == code[:, None]).astype(jnp.float32)
-        emb = dot_hi(onehot, emb_tbl_ref[0].astype(jnp.float32))     # [B, D]
+        tdt = emb_tbl_ref.dtype
+        tprec = jax.lax.Precision.HIGHEST if tdt == jnp.float32 else None
+        onehot = (cols == code[:, None]).astype(tdt)
+        emb = jnp.dot(onehot, emb_tbl_ref[0],
+                      preferred_element_type=jnp.float32,
+                      precision=tprec)                               # [B, D]
         emb_acc[...] += emb
 
         @pl.when(cb < n_cb - 1)
@@ -315,16 +321,24 @@ def _kernel(hidden_ref, posemb_ref,
             dma(vbufs.at[buf, :, pl.ds(base, 16)],
                 vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).start()
 
+            # Bit-exact algebraic forms of the per-slot score/context ops —
+            # see decoder_step_batched.py: K@(q(.)seg), ones_H@((pT V)(.)segT),
+            # native-dtype operands (single-pass bf16 dots, exact products).
             for rows in variants:
                 @when_variant(rows)
                 def _attend(rows=rows):
-                    ones_row = jnp.ones((1, rows), jnp.float32)
+                    ones_h = jnp.ones((1, n_heads), jnp.float32)
+                    cdt = kbufs.dtype
+                    hi = (jax.lax.Precision.HIGHEST
+                          if cdt == jnp.float32 else None)
                     for b in range(gb):
                         q_b = qkv[lo + b: lo + b + 1,
                                   :d_model].astype(jnp.float32)
-                        kb = kbufs[buf, b, pl.ds(0, rows)].astype(jnp.float32)
-                        z = kb * q_b
-                        scores = dot_hi(z, seg)
+                        kb = kbufs[buf, b, pl.ds(0, rows)]
+                        qseg = (q_b.T * seg).astype(cdt)        # [D, H] exact
+                        scores = jnp.dot(kb, qseg,
+                                         preferred_element_type=jnp.float32,
+                                         precision=hi)
                         scores = scores * inv_sqrt                  # [rows, H]
                         vmask = valid_sc[pl.ds(0, rows),
                                          lo + b: lo + b + 1] > 0
@@ -332,11 +346,14 @@ def _kernel(hidden_ref, posemb_ref,
                         m = jnp.max(scores, axis=0, keepdims=True)
                         p = jnp.exp(scores - m)
                         probs = p / jnp.sum(p, axis=0, keepdims=True)
-                        probs_w = probs.astype(wdt).astype(jnp.float32)
-                        pe = dot_hi(probs_w, seg.T)
-                        w = pe * vbufs[buf, b, pl.ds(0, rows)
-                                       ].astype(jnp.float32)
-                        attn_ref[lo + b: lo + b + 1, :] = dot_hi(ones_row, w)
+                        probs_w = probs.astype(wdt).astype(cdt)
+                        vb = vbufs[buf, b, pl.ds(0, rows)]
+                        pv = jax.lax.dot_general(
+                            probs_w, vb, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=hi)                       # [H, D]
+                        attn_ref[lo + b: lo + b + 1, :] = dot_hi(
+                            ones_h, pv * seg.T)
 
             dma(kbufs.at[buf, :, pl.ds(base, 16)],
                 kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()

@@ -170,8 +170,12 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
     @pl.when(cb < n_cb - 1)
     def _feedback():
         cols = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
-        onehot = (cols == code[:, None]).astype(jnp.float32)
-        emb = dot_hi(onehot, proj_emb_ref[0].astype(jnp.float32))   # [B, lt]
+        tdt = proj_emb_ref.dtype
+        tprec = jax.lax.Precision.HIGHEST if tdt == jnp.float32 else None
+        onehot = (cols == code[:, None]).astype(tdt)
+        emb = jnp.dot(onehot, proj_emb_ref[0],
+                      preferred_element_type=jnp.float32,
+                      precision=tprec)                              # [B, lt]
         rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         scat = ((rws // _SEQ == jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
                 & (rws % _SEQ == cb + 1)).astype(jnp.float32)       # [R, B]
