@@ -92,12 +92,10 @@ def main():
         from magpie_tts_tpu.runtime.streaming import StreamParams, stream_sentence
 
         params = StreamParams(temperature=0.7, top_k=80, frames_per_chunk=4)
-        # Warm the prefill/chunk/vocoder programs for this bucket.
-        stream = engine.begin_stream(tokens)
-        engine.decode_chunk(stream, n_frames=4, top_k=80)
-        # First chunk vocodes 4 frames (bucket 32); later chunks carry 32
-        # context frames (bucket 64).
-        codec.warmup(buckets=(32, 64))
+        # Warm the prefill + fused decode-and-vocode chunk program (one full
+        # throwaway pass compiles everything the timed pass uses).
+        for _ in stream_sentence(engine, codec, tokens, params):
+            pass
 
         t0 = time.perf_counter()
         first = None

@@ -158,11 +158,16 @@ def res_layer(x: jnp.ndarray, branches, dilations,
     if use_pallas:
         from ..ops.pallas_kernels import codec_conv as cc
 
+        import os
+
         p = cc.pick_pack(C, C)
-        if C <= 128:
-            # Mid/small stages (<= 128 lanes, packed or not): the whole
-            # layer runs as ONE kernel with VMEM-resident weights —
-            # 18x less activation HBM traffic (codec_res_fused.py).
+        if C <= 128 and os.environ.get("MAGPIE_FUSED_CODEC"):
+            # Whole-layer fused kernel (codec_res_fused.py): 18x less
+            # activation HBM traffic, but MEASURED SLOWER on v5e (77 vs 71 ms
+            # per 304-frame decode) with 11x the compile time (658 s vs 60 s)
+            # — the 126-tap unrolled Mosaic program defeats the scheduler,
+            # and the per-conv path's streaming already overlaps well.
+            # Kept opt-in for bigger-VMEM parts; default is the per-conv path.
             from ..ops.pallas_kernels.codec_res_fused import res_layer_fused
 
             return jax.vmap(lambda xs: res_layer_fused(

@@ -106,23 +106,33 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     dma(kbuf.at[pl.ds(base, 16)], kc_out.at[l, pl.ds(base, 16)], 4).start()
     dma(vbuf.at[pl.ds(base, 16)], vc_out.at[l, pl.ds(base, 16)], 5).start()
 
-    # per-head scores via the segment matrix (no head reshapes)
+    # Per-head scores via the segment matrix (no head reshapes), in the
+    # bit-exact algebraic forms of the batched kernel
+    # (decoder_step_batched.py): (K (.) q) @ seg == K @ (q (.) seg) and
+    # ones @ ((p@segT) (.) V) == ones_H @ ((pT V) (.) segT), with CACHE-DTYPE
+    # operands — single-pass bf16 dots are bit-identical to 6-pass
+    # f32-HIGHEST on bf16-valued data (exact products, same accumulation).
     lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
     head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
     seg = (lane // d_head == head).astype(jnp.float32)    # [d, H]
-    z = kbuf[...].astype(jnp.float32) * q                 # [S, d] exact products
-    scores = dot_hi(z, seg)                               # [S, H]
+    cdt = kbuf.dtype
+    hi_p = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+    qseg = (q.T * seg).astype(cdt)                        # [d, H] exact
+    scores = jnp.dot(kbuf[...], qseg,
+                     preferred_element_type=jnp.float32,
+                     precision=hi_p)                      # [S, H]
     scores = scores * (1.0 / jnp.sqrt(jnp.float32(d_head)))
     row = jax.lax.broadcasted_iota(jnp.int32, (max_seq, n_heads), 0)
     scores = jnp.where(row <= pos, scores, _NEG)
     m = jnp.max(scores, axis=0, keepdims=True)
     p = jnp.exp(scores - m)
     probs = p / jnp.sum(p, axis=0, keepdims=True)          # [S, H]
-    probs_w = probs.astype(wdt).astype(jnp.float32)        # round like XLA
-    probs_exp = dot_hi(probs_w, seg.T)                     # [S, d]
-    weighted = probs_exp * vbuf[...].astype(jnp.float32)
-    ones_row = jnp.ones((1, max_seq), jnp.float32)
-    attn = dot_hi(ones_row, weighted)                      # [1, d]
+    probs_w = probs.astype(wdt).astype(cdt)                # round like XLA
+    pv = jax.lax.dot_general(
+        probs_w, vbuf[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi_p)  # [H, d]
+    ones_h = jnp.ones((1, n_heads), jnp.float32)
+    attn = dot_hi(ones_h, pv * seg.T)                      # [1, d]
 
     dma(sao_hbm.at[l], sao_buf, 3).wait()
     x = x + (dot_hi(attn.astype(wdt), sao_buf[...].astype(wdt))
@@ -133,21 +143,23 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
         dma(sao_hbm.at[l + 1], sao_buf, 3).start()
 
     # ---- cross-attention (1 head, precomputed K/V) ----
+    # Same algebraic forms: (K (.) q) @ ones == K @ qT and
+    # ones @ (p (.) V) == pT V, native-dtype operands (exact products).
     hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
-    q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt).astype(jnp.float32)  # (1, d_xa)
-    zx = xa_k_ref[0].astype(jnp.float32) * q2                     # (E, d_xa)
-    ones_col = jnp.ones((d_xa, 1), jnp.float32)
-    sx = dot_hi(zx, ones_col)                                     # (E, 1)
+    q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt)                      # (1, d_xa)
+    sx = jnp.dot(xa_k_ref[0], q2.T,
+                 preferred_element_type=jnp.float32,
+                 precision=hi_p)                                  # (E, 1)
     sx = sx * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
     erow = jax.lax.broadcasted_iota(jnp.int32, (enc_pad, 1), 0)
     sx = jnp.where(erow < enc_len, sx, _NEG)
     mx = jnp.max(sx, axis=0, keepdims=True)
     px = jnp.exp(sx - mx)
     px = px / jnp.sum(px, axis=0, keepdims=True)                  # (E, 1)
-    px_w = px.astype(wdt).astype(jnp.float32)
-    wv = px_w * xa_v_ref[0].astype(jnp.float32)                   # (E, d_xa)
-    ones_e = jnp.ones((1, enc_pad), jnp.float32)
-    xa = dot_hi(ones_e, wv)                                       # (1, d_xa)
+    px_w = px.astype(wdt)
+    xa = jax.lax.dot_general(
+        px_w, xa_v_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi_p)       # (1, d_xa)
     x = x + dot_hi(xa.astype(wdt), xa_out_ref[0])
 
     # ---- FFN (pointwise) ----

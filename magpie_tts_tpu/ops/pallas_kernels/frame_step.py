@@ -238,22 +238,28 @@ def _kernel(hidden_ref, posemb_ref,
         dma(kbuf.at[pl.ds(base, 16)], kc_out.at[l, pl.ds(base, 16)], 4).start()
         dma(vbuf.at[pl.ds(base, 16)], vc_out.at[l, pl.ds(base, 16)], 5).start()
 
+        # Bit-exact algebraic forms with cache-dtype operands — see
+        # decoder_step.py (single-pass bf16 dots, exact products).
         lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
         head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
         seg = (lane // d_head == head).astype(jnp.float32)
-        z = kbuf[...].astype(jnp.float32) * q
-        scores = dot_hi(z, seg)
+        cdt = kbuf.dtype
+        hi_p = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+        qseg = (q.T * seg).astype(cdt)
+        scores = jnp.dot(kbuf[...], qseg,
+                         preferred_element_type=jnp.float32, precision=hi_p)
         scores = scores * (1.0 / jnp.sqrt(jnp.float32(d_head)))
         row = jax.lax.broadcasted_iota(jnp.int32, (max_seq, n_heads), 0)
         scores = jnp.where(row <= pos, scores, _NEG)
         m = jnp.max(scores, axis=0, keepdims=True)
         p = jnp.exp(scores - m)
         probs = p / jnp.sum(p, axis=0, keepdims=True)
-        probs_w = probs.astype(wdt).astype(jnp.float32)
-        probs_exp = dot_hi(probs_w, seg.T)
-        weighted = probs_exp * vbuf[...].astype(jnp.float32)
-        ones_row = jnp.ones((1, max_seq), jnp.float32)
-        attn = dot_hi(ones_row, weighted)
+        probs_w = probs.astype(wdt).astype(cdt)
+        pv = jax.lax.dot_general(
+            probs_w, vbuf[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi_p)
+        ones_h = jnp.ones((1, n_heads), jnp.float32)
+        attn = dot_hi(ones_h, pv * seg.T)
 
         dma(sao_hbm.at[l], sao_buf, 3).wait()
         x = x + (dot_hi(attn.astype(wdt), sao_buf[...].astype(wdt))
@@ -264,20 +270,19 @@ def _kernel(hidden_ref, posemb_ref,
             dma(sao_hbm.at[l + 1], sao_buf, 3).start()
 
         hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
-        q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt).astype(jnp.float32)
-        zx = xa_k_ref[0].astype(jnp.float32) * q2
-        ones_col = jnp.ones((d_xa, 1), jnp.float32)
-        sx = dot_hi(zx, ones_col)
+        q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt)
+        sx = jnp.dot(xa_k_ref[0], q2.T,
+                     preferred_element_type=jnp.float32, precision=hi_p)
         sx = sx * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
         erow = jax.lax.broadcasted_iota(jnp.int32, (enc_pad, 1), 0)
         sx = jnp.where(erow < enc_len, sx, _NEG)
         mx = jnp.max(sx, axis=0, keepdims=True)
         px = jnp.exp(sx - mx)
         px = px / jnp.sum(px, axis=0, keepdims=True)
-        px_w = px.astype(wdt).astype(jnp.float32)
-        wv = px_w * xa_v_ref[0].astype(jnp.float32)
-        ones_e = jnp.ones((1, enc_pad), jnp.float32)
-        xa = dot_hi(ones_e, wv)
+        px_w = px.astype(wdt)
+        xa = jax.lax.dot_general(
+            px_w, xa_v_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi_p)
         x = x + dot_hi(xa.astype(wdt), xa_out_ref[0])
 
         hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)

@@ -66,37 +66,110 @@ class AudioChunk:
     is_sentence_end: bool
 
 
+_FUSED_CHUNK_CACHE: dict = {}
+
+
+def _fused_chunk_fn(engine: MagpieEngine, codec: CodecEngine,
+                    bucket: int, top_k: int, k: int, ctx: int):
+    """One compiled program per (engines, bucket, top_k, k, ctx): advance the
+    AR loop by up to ``k`` frames AND vocode the [ctx; new] window, returning
+    a single flat array ``[window_audio..., frame_idx, done, start, base]``.
+
+    One dispatch + one fetch per chunk: on a tunneled TPU the ~25ms dispatch
+    and per-fetch round trips dominate small chunks (the split
+    decode_chunk/decode_with_context path costs 4+ round trips per chunk and
+    caps streaming RTF near 1x); folding the scalars into the audio array
+    keeps it to exactly two.
+    """
+    key = (id(engine), id(codec), bucket, top_k, k, ctx)
+    fn = _FUSED_CHUNK_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import codec as codec_mod
+    from ..models import magpie as magpie_mod
+
+    mc = engine.config
+    ccfg = codec.config
+    use_pallas_lt = engine.use_pallas_lt
+    use_pallas_decoder = engine.use_pallas_decoder
+    use_fused = engine.use_fused
+    use_pallas_codec = codec.use_pallas
+    win = min(ctx + k, mc.max_dec_steps)  # tiny-config guard
+
+    def prog(m_weights, int8_stream, c_weights, xa_k, xa_v, state, enc_length,
+             rng_key, temperature):
+        start = state.frame_idx
+        target = jnp.minimum(start + k, mc.max_dec_steps)
+        state = magpie_mod.decode_loop(
+            xa_k, xa_v, state, enc_length, m_weights, mc, rng_key,
+            temperature, top_k, target_frames=target,
+            use_pallas_lt=use_pallas_lt, use_pallas_decoder=use_pallas_decoder,
+            use_fused=use_fused, int8_stream=int8_stream)
+        base = jnp.clip(start - ctx, 0, mc.max_dec_steps - win)
+        window = jax.lax.dynamic_slice(
+            state.codes, (base, 0), (win, mc.num_codebooks))
+        audio = codec_mod.codec_decode(window.T, c_weights, ccfg,
+                                       use_pallas=use_pallas_codec)
+        meta = jnp.stack([state.frame_idx.astype(jnp.float32),
+                          state.done.astype(jnp.float32),
+                          start.astype(jnp.float32),
+                          base.astype(jnp.float32)])
+        return state, jnp.concatenate([audio.astype(jnp.float32), meta])
+
+    fn = jax.jit(prog, donate_argnums=(5,))
+    _FUSED_CHUNK_CACHE[key] = fn
+    return fn
+
+
 def stream_sentence(engine: MagpieEngine, codec: CodecEngine,
                     token_ids, params: StreamParams,
                     sentence_index: int = 0, total_sentences: int = 1
                     ) -> Iterator[AudioChunk]:
-    """Incrementally synthesize one tokenized sentence, yielding audio chunks."""
+    """Incrementally synthesize one tokenized sentence, yielding audio chunks.
+
+    Emitted audio is bit-identical to a full offline decode (context-primed
+    causal vocoding, see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
     stream = engine.begin_stream(token_ids, speaker_id=params.speaker_id)
-    all_codes: Optional[np.ndarray] = None
-    emitted_frames = 0
+    k = params.frames_per_chunk
+    ctx = params.codec_context_frames
+    hop = codec.config.hop_length
+    fn = _fused_chunk_fn(engine, codec, stream["bucket"], params.top_k, k, ctx)
+
     done = False
+    chunk_idx = 0
     while not done:
-        new_codes, done = engine.decode_chunk(
-            stream, n_frames=params.frames_per_chunk,
-            temperature=params.temperature, top_k=params.top_k, seed=params.seed)
-        if new_codes.shape[0]:
-            all_codes = (new_codes if all_codes is None
-                         else np.concatenate([all_codes, new_codes], axis=0))
-        if all_codes is None:
+        rng_key = jax.random.fold_in(jax.random.PRNGKey(params.seed), chunk_idx)
+        state, flat = fn(engine.weights, engine.int8_stream, codec.weights,
+                         stream["xa_k"], stream["xa_v"], stream["state"],
+                         stream["enc_length"], rng_key,
+                         jnp.float32(params.temperature))
+        stream["state"] = state
+        flat = np.asarray(flat)
+        audio, meta = flat[:-4], flat[-4:]
+        end, done_f, start, base = (int(meta[0]), meta[1] > 0.5,
+                                    int(meta[2]), int(meta[3]))
+        done = bool(done_f) or end >= engine.config.max_dec_steps
+        n_new = end - start
+        chunk_idx += 1
+        if n_new <= 0:
+            if done:
+                break
             continue
-        pending = all_codes.shape[0] - emitted_frames
-        if pending >= params.frames_per_chunk or (done and pending > 0):
-            ctx = min(emitted_frames, params.codec_context_frames)
-            window = all_codes[emitted_frames - ctx:]
-            samples = codec.decode_with_context(window, ctx)
-            emitted_frames = all_codes.shape[0]
-            yield AudioChunk(
-                samples=samples,
-                sentence_index=sentence_index,
-                total_sentences=total_sentences,
-                frames_generated=emitted_frames,
-                is_sentence_end=done,
-            )
+        off = start - base
+        yield AudioChunk(
+            samples=audio[off * hop: (off + n_new) * hop].astype(np.float32),
+            sentence_index=sentence_index,
+            total_sentences=total_sentences,
+            frames_generated=end,
+            is_sentence_end=done,
+        )
 
 
 def stream_text(engine: MagpieEngine, codec: CodecEngine, tokenizer,
