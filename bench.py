@@ -62,10 +62,11 @@ def main():
     tokens = list(np.random.default_rng(0).integers(2, 90, size=30))
     tokens = [config.text_bos_id] + tokens + [config.text_eos_id]
 
-    # Warmup (compile)
+    # Warmup (compile). Timed runs use the production wav path: PCM16
+    # conversion on device (half the audio device->host transfer).
     t0 = time.perf_counter()
     result = engine.synthesize_codes(tokens, temperature=0.7, top_k=80, seed=0)
-    _ = codec.decode(result.codes)
+    _ = codec.decode(result.codes, pcm16=True)
     compile_time = time.perf_counter() - t0
     print(f"bench: compile+first-run {compile_time:.1f}s, "
           f"frames={result.n_frames}", file=sys.stderr)
@@ -76,7 +77,7 @@ def main():
     for i in range(runs):
         t0 = time.perf_counter()
         result = engine.synthesize_codes(tokens, temperature=0.7, top_k=80, seed=i)
-        audio = codec.decode(result.codes)
+        audio = codec.decode(result.codes, pcm16=True)
         dt = time.perf_counter() - t0
         fps = result.n_frames / dt
         best_fps = max(best_fps, fps)

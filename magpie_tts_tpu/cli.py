@@ -174,9 +174,11 @@ def main(argv=None) -> int:
             chunks.append(chunk.samples)
         samples = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
     else:
-        samples = pipeline.synthesize(
+        codes = pipeline.synthesize_codes(
             args.text, speaker_id=args.speaker, temperature=args.temp,
             top_k=args.top_k, seed=args.seed)
+        # PCM16 conversion on device: half the audio transfer.
+        samples = pipeline.codec.decode(codes, pcm16=True)
     elapsed = time.perf_counter() - t0
 
     hop = pipeline.codec.config.hop_length if pipeline.codec else 1024

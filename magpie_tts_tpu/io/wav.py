@@ -8,10 +8,15 @@ import numpy as np
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int = 22050) -> None:
-    """samples: float waveform in [-1, 1]; clamped and scaled by 32767."""
-    samples = np.asarray(samples, dtype=np.float32)
-    pcm = np.clip(samples, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype(np.int16)
+    """samples: float waveform in [-1, 1] (clamped, scaled by 32767) or
+    already-scaled int16 PCM (passed through — the engine can produce PCM16
+    on device)."""
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        pcm = samples
+    else:
+        pcm = np.clip(samples.astype(np.float32), -1.0, 1.0)
+        pcm = (pcm * 32767.0).astype(np.int16)
     data = pcm.tobytes()
     with open(path, "wb") as f:
         f.write(b"RIFF")

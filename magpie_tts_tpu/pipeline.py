@@ -64,7 +64,11 @@ class MagpiePipeline:
         return self.codec.decode(codes)
 
     def synthesize_to_wav(self, text: str, output_path: str, **kwargs) -> int:
-        samples = self.synthesize(text, **kwargs)
+        """text -> 16-bit PCM WAV. PCM conversion happens ON DEVICE (int16
+        transfer is half the float one — the dominant single-utterance
+        device->host cost on tunneled links)."""
+        codes = self.synthesize_codes(text, **kwargs)
+        samples = self.codec.decode(codes, pcm16=True)
         write_wav(output_path, samples, self.config.sample_rate)
         return len(samples)
 

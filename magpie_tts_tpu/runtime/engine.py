@@ -226,27 +226,42 @@ class CodecEngine:
         self._decode_cache: Dict[int, object] = {}
         self._decode_batch_cache: Dict[object, object] = {}
 
-    def _decode_fn(self, bucket: int):
-        fn = self._decode_cache.get(bucket)
+    def _decode_fn(self, bucket: int, pcm16: bool = False):
+        fn = self._decode_cache.get((bucket, pcm16))
         if fn is None:
             config = self.config
             use_pallas = self.use_pallas
-            fn = jax.jit(lambda weights, codes: codec_mod.codec_decode(
-                codes, weights, config, use_pallas=use_pallas))
-            self._decode_cache[bucket] = fn
+
+            def program(weights, codes):
+                audio = codec_mod.codec_decode(codes, weights, config,
+                                               use_pallas=use_pallas)
+                if pcm16:
+                    # On-device 16-bit PCM (the WAV contract,
+                    # magpie-tts.cpp:30-68): halves the device->host audio
+                    # transfer, which dominates single-utterance latency on
+                    # tunneled links.
+                    audio = (jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)
+                             * 32767.0).astype(jnp.int16)
+                return audio
+
+            fn = jax.jit(program)
+            self._decode_cache[(bucket, pcm16)] = fn
         return fn
 
-    def decode(self, codes: np.ndarray) -> np.ndarray:
-        """codes: [n_frames, 8] int32 -> waveform float32 [n_frames * hop]."""
+    def decode(self, codes: np.ndarray, pcm16: bool = False) -> np.ndarray:
+        """codes: [n_frames, 8] int32 -> waveform [n_frames * hop]:
+        float32 in [-1, 1], or int16 PCM when ``pcm16`` (scaled on device)."""
         codes = np.asarray(codes, np.int32)
         n = codes.shape[0]
         if n == 0:
-            return np.zeros(0, np.float32)
+            return np.zeros(0, np.int16 if pcm16 else np.float32)
         bucket = pick_bucket(self.frame_buckets, n)
         padded = np.zeros((bucket, self.config.num_codebooks), np.int32)
         padded[:n] = codes
-        audio = self._decode_fn(bucket)(self.weights, jnp.asarray(padded.T))
-        return np.asarray(audio[: n * self.config.hop_length], np.float32)
+        audio = self._decode_fn(bucket, pcm16)(self.weights,
+                                               jnp.asarray(padded.T))
+        out = np.asarray(audio[: n * self.config.hop_length])
+        return out if pcm16 else out.astype(np.float32)
 
     def decode_batch(self, codes_list) -> list:
         """Vocode several utterances in one compiled call (padded to the

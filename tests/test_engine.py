@@ -164,7 +164,25 @@ def test_warmup_precompiles_buckets():
     codec = CodecEngine(random_codec_weights(cc, seed=0), cc,
                         frame_buckets=(8, 16))
     codec.warmup()
-    assert set(codec._decode_cache) == {8, 16}
+    assert {b for (b, pcm16) in codec._decode_cache} == {8, 16}
+
+
+def test_codec_decode_pcm16_matches_host_conversion():
+    """On-device PCM16 == the WAV writer's host-side clip/scale/truncate."""
+    from tests.utils import tiny_codec_config
+    from magpie_tts_tpu.io.codec_weights import random_codec_weights
+    from magpie_tts_tpu.runtime.engine import CodecEngine
+
+    cc = tiny_codec_config()
+    codec = CodecEngine(random_codec_weights(cc, seed=0), cc,
+                        frame_buckets=(8, 16))
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, cc.codebook_size, size=(7, cc.num_codebooks))
+    f32 = codec.decode(codes)
+    i16 = codec.decode(codes, pcm16=True)
+    assert i16.dtype == np.int16
+    want = (np.clip(f32, -1.0, 1.0) * 32767.0).astype(np.int16)
+    np.testing.assert_array_equal(i16, want)
 
 
 def test_codec_decode_batch_matches_single():
