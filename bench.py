@@ -62,26 +62,30 @@ def main():
     tokens = list(np.random.default_rng(0).integers(2, 90, size=30))
     tokens = [config.text_bos_id] + tokens + [config.text_eos_id]
 
-    # Warmup (compile). Timed runs use the production wav path: PCM16
-    # conversion on device (half the audio device->host transfer).
+    # Warmup (compile). Timed runs use the single-dispatch production path:
+    # generation -> vocode -> PCM16 in ONE compiled program (host round trips
+    # dominate the remainder otherwise).
+    from magpie_tts_tpu.runtime.engine import synthesize_audio_fused
+
     t0 = time.perf_counter()
-    result = engine.synthesize_codes(tokens, temperature=0.7, top_k=80, seed=0)
-    _ = codec.decode(result.codes, pcm16=True)
+    audio, n_frames = synthesize_audio_fused(engine, codec, tokens,
+                                             temperature=0.7, top_k=80, seed=0)
     compile_time = time.perf_counter() - t0
     print(f"bench: compile+first-run {compile_time:.1f}s, "
-          f"frames={result.n_frames}", file=sys.stderr)
+          f"frames={n_frames}", file=sys.stderr)
 
     # Timed runs
     runs = 3
     best_fps = 0.0
     for i in range(runs):
         t0 = time.perf_counter()
-        result = engine.synthesize_codes(tokens, temperature=0.7, top_k=80, seed=i)
-        audio = codec.decode(result.codes, pcm16=True)
+        audio, n_frames = synthesize_audio_fused(engine, codec, tokens,
+                                                 temperature=0.7, top_k=80,
+                                                 seed=i)
         dt = time.perf_counter() - t0
-        fps = result.n_frames / dt
+        fps = n_frames / dt
         best_fps = max(best_fps, fps)
-        print(f"bench: run {i}: {result.n_frames} frames in {dt:.3f}s = "
+        print(f"bench: run {i}: {n_frames} frames in {dt:.3f}s = "
               f"{fps:.1f} fps ({fps / 21.5:.1f}x real-time), "
               f"audio {len(audio) / 22050:.2f}s", file=sys.stderr)
 
@@ -144,7 +148,7 @@ def main():
         "extra": {
             "device": dev.device_kind,
             "dtype": dtype_name,
-            "frames": result.n_frames,
+            "frames": n_frames,
             "realtime_factor": round(best_fps / 21.5, 2),
             "compile_seconds": round(compile_time, 1),
             "batched_aggregate_fps": round(agg_fps, 1),

@@ -47,7 +47,7 @@ from .lt_sampler import _pad_rows_to_16
 
 _SEQ = 16       # padded per-slot LT sequence rows (9 used)
 _NEG = -1e30
-_BISECT_ITERS = 24
+_BISECT_ITERS = 14  # span/2^14 tau resolution — see lt_sampler_batched.py
 
 
 def _ln(x, w, eps):
@@ -74,7 +74,7 @@ def _kernel(hidden_ref, posemb_ref,
             # outputs
             sampled_ref, argmax_ref, hidden_out_ref, kc_out, vc_out,
             # scratch
-            seq_ref, emb_acc, valid_sc, x_ref, attn_ref,
+            seq_ref, gum_ref, emb_acc, valid_sc, x_ref, attn_ref,
             qkv_sc, sao_buf, ffp_buf, ffo_buf, kbufs, vbufs, sems, *,
             n_cb: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int,
@@ -156,6 +156,14 @@ def _kernel(hidden_ref, posemb_ref,
                      jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
                     & (rws % _SEQ == 0)).astype(jnp.float32)         # [R, B]
             seq_ref[...] = dot_hi(scat, proj.astype(jnp.float32)).astype(wdt)
+            if use_prng:  # one Gumbel draw for all phases (lt_sampler_batched)
+                pltpu.prng_seed(flags_ref[0])
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((n_cb * B, vocab)), jnp.int32)
+                u = (jax.lax.shift_right_logical(bits, 8).astype(jnp.float32)
+                     * (1.0 / (1 << 24)))
+                u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
+                gum_ref[...] = -jnp.log(-jnp.log(u))
 
         x = (seq_ref[...].astype(jnp.float32)
              + lt_pos_ref[...].astype(jnp.float32))
@@ -213,12 +221,7 @@ def _kernel(hidden_ref, posemb_ref,
         in_topk = logits >= lo
 
         if use_prng:
-            pltpu.prng_seed(flags_ref[0] * jnp.int32(n_cb) + cb)
-            bits = pltpu.bitcast(pltpu.prng_random_bits((B, vocab)), jnp.int32)
-            u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
-                1.0 / (1 << 24))
-            u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
-            gumbel = -jnp.log(-jnp.log(u))
+            gumbel = gum_ref[pl.ds(cb * B, B), :]   # drawn once at phase 0
         else:
             gumbel = jnp.zeros((B, vocab), jnp.float32)
         safe_temp = jnp.maximum(temp, 0.01)
@@ -557,6 +560,7 @@ def frame_step_batched_pallas(
         input_output_aliases={35: 3, 36: 4},
         scratch_shapes=[
             pltpu.VMEM((B * _SEQ, c.lt_dim), dtype),   # LT flat seq buffers
+            pltpu.VMEM((n_cb * B, c.vocab_per_cb), jnp.float32),  # gumbel
             pltpu.VMEM((B, D), jnp.float32),           # embedding accumulator
             pltpu.VMEM((S, B), jnp.int32),             # valid incl. new row
             pltpu.VMEM((B, D), jnp.float32),           # x carry

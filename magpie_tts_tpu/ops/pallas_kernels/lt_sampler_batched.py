@@ -48,7 +48,12 @@ from .lt_sampler import _pad_rows_to_16
 
 _SEQ = 16       # padded per-slot sequence rows (9 used)
 _NEG = -1e30
-_BISECT_ITERS = 24  # f32 mantissa bits: tau resolution ~ span / 2^24
+# Top-k threshold bisection depth. 14 iters give tau resolution span/2^14 —
+# the same resolution as the single-stream kernel's two-level 128-bin
+# histogram refinement (lt_sampler.py), at ~60 fewer Mosaic ops per codebook
+# phase (op-launch overhead, not arithmetic, dominates these [B, vocab]
+# ops). Greedy (temp=0) parity is unaffected: greedy bypasses top-k.
+_BISECT_ITERS = 14
 
 
 def _layer_norm(x, w, eps):
@@ -63,7 +68,7 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
             norm_self_ref, qkv_ref, sa_out_ref, norm_ff_ref, ff_proj_ref,
             ff_out_ref, out_w_ref, out_b_ref, proj_emb_ref, forbid_ref,
             temp_ref, flags_ref,
-            sampled_ref, argmax_ref, seq_ref, *,
+            sampled_ref, argmax_ref, seq_ref, gum_ref, *,
             n_batch: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int, eps: float,
             gelu_tanh: bool, n_cb: int, use_prng: bool):
@@ -82,6 +87,16 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
         scat = ((rows // _SEQ == jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
                 & (rows % _SEQ == 0)).astype(jnp.float32)           # [R, B]
         seq_ref[...] = dot_hi(scat, proj.astype(jnp.float32)).astype(wdt)
+        # One Gumbel draw for ALL codebook phases (slices read per phase):
+        # the ~10-op noise chain per phase is pure op-launch overhead.
+        if use_prng:
+            pltpu.prng_seed(flags_ref[0])
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((n_cb * B, vocab)), jnp.int32)
+            u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
+                1.0 / (1 << 24))
+            u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
+            gum_ref[...] = -jnp.log(-jnp.log(u))
 
     # ---- LT layer over the flat buffer; rows beyond cb are causally inert.
     x = seq_ref[...].astype(jnp.float32) + pos_tiled_ref[...].astype(jnp.float32)
@@ -143,12 +158,7 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
 
     # ---- Gumbel-max over the top-k candidates at temperature
     if use_prng:
-        pltpu.prng_seed(flags_ref[0] * jnp.int32(n_cb) + cb)
-        bits = pltpu.bitcast(pltpu.prng_random_bits((B, vocab)), jnp.int32)
-        u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
-            1.0 / (1 << 24))
-        u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
-        gumbel = -jnp.log(-jnp.log(u))
+        gumbel = gum_ref[pl.ds(cb * B, B), :]   # drawn once at phase 0
     else:  # interpret mode: PRNG unavailable; sampled == argmax there
         gumbel = jnp.zeros((B, vocab), jnp.float32)
     safe_temp = jnp.maximum(temp, 0.01)
@@ -263,6 +273,7 @@ def sample_frame_codes_batched_pallas(
                    pl.BlockSpec((n_cb, B), lambda cb: (0, 0))),
         scratch_shapes=[
             pltpu.VMEM((B * _SEQ, c.lt_dim), dtype),   # flat seq buffers
+            pltpu.VMEM((n_cb * B, c.vocab_per_cb), jnp.float32),  # gumbel
         ],
         interpret=interpret,
     )(hidden, lt.in_proj_w.astype(dtype),

@@ -210,6 +210,60 @@ class MagpieEngine:
         return new_codes, done
 
 
+_FUSED_AUDIO_CACHE: Dict[Tuple, object] = {}
+
+
+def synthesize_audio_fused(engine: "MagpieEngine", codec: "CodecEngine",
+                           token_ids: Sequence[int], *, speaker_id: int = 0,
+                           temperature: float = 0.7, top_k: int = 80,
+                           seed: int = 0) -> Tuple[np.ndarray, int]:
+    """tokens -> 16-bit PCM waveform in ONE compiled program.
+
+    Generation, vocoding of the full ``max_dec_steps`` code window, and the
+    PCM16 conversion all run in a single dispatch; the host trims to
+    ``n_frames * hop`` samples. This is the latency-optimal path when
+    dispatch round trips dominate (tunneled/remote TPUs) or utterances run
+    near the step cap — the two-call path (synthesize_codes + decode) skips
+    the wasted vocode tail for EOS-early workloads instead. Audio equals the
+    two-call path exactly (causal codec => prefix-exact under padding).
+
+    Returns (int16 samples [n_frames * hop], n_frames).
+    """
+    import jax
+
+    tokens, enc_length, bucket = engine._pad_tokens(token_ids)
+    key = (id(engine), id(codec), bucket, top_k)
+    fn = _FUSED_AUDIO_CACHE.get(key)
+    if fn is None:
+        mc = engine.config
+        ccfg = codec.config
+        use_pallas_lt = engine.use_pallas_lt
+        use_pallas_decoder = engine.use_pallas_decoder
+        use_fused = engine.use_fused
+        use_pallas_codec = codec.use_pallas
+
+        def program(m_weights, int8_stream, c_weights, tokens, enc_length,
+                    speaker_id, rng_key, temperature):
+            codes, n_frames = magpie_mod.synthesize_codes_program(
+                tokens, enc_length, speaker_id, rng_key, temperature,
+                m_weights, mc, top_k=top_k, use_pallas_lt=use_pallas_lt,
+                use_pallas_decoder=use_pallas_decoder, use_fused=use_fused,
+                int8_stream=int8_stream)
+            audio = codec_mod.codec_decode(codes.T, c_weights, ccfg,
+                                           use_pallas=use_pallas_codec)
+            pcm = (jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)
+                   * 32767.0).astype(jnp.int16)
+            return pcm, n_frames
+
+        fn = jax.jit(program)
+        _FUSED_AUDIO_CACHE[key] = fn
+    pcm, n_frames = fn(engine.weights, engine.int8_stream, codec.weights,
+                       tokens, enc_length, jnp.int32(speaker_id),
+                       jax.random.PRNGKey(seed), jnp.float32(temperature))
+    n = int(n_frames)
+    return np.asarray(pcm[: n * codec.config.hop_length]), n
+
+
 class CodecEngine:
     """Compiled nano-codec vocoder with frame bucketing."""
 

@@ -167,6 +167,21 @@ def test_warmup_precompiles_buckets():
     assert {b for (b, pcm16) in codec._decode_cache} == {8, 16}
 
 
+def test_synthesize_audio_fused_matches_two_call(engine, codec_engine):
+    """The one-dispatch generate->vocode->PCM16 program == the two-call path
+    (same seed; causal codec => prefix-exact under the step-cap padding)."""
+    from magpie_tts_tpu.runtime.engine import synthesize_audio_fused
+
+    tokens = [CONFIG.text_bos_id, 4, 5, 6, CONFIG.text_eos_id]
+    pcm, n = synthesize_audio_fused(engine, codec_engine, tokens,
+                                    temperature=0.0, top_k=8, seed=0)
+    ref = engine.synthesize_codes(tokens, temperature=0.0, top_k=8, seed=0)
+    ref_pcm = codec_engine.decode(ref.codes, pcm16=True)
+    assert n == ref.n_frames
+    assert pcm.dtype == np.int16
+    np.testing.assert_array_equal(pcm, ref_pcm)
+
+
 def test_codec_decode_pcm16_matches_host_conversion():
     """On-device PCM16 == the WAV writer's host-side clip/scale/truncate."""
     from tests.utils import tiny_codec_config
