@@ -34,7 +34,7 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     codec_pallas = os.environ.get("BENCH_CODEC_PALLAS")
     codec_pallas = None if codec_pallas is None else codec_pallas == "1"

@@ -98,9 +98,12 @@ class ContinuousBatchingEngine:
 
     # ---- compiled programs -------------------------------------------------
 
-    def _admit_fn(self, bucket: int):
-        """One fused call per admission: tokenize-side prefill + slot placement."""
-        fn = self._admit_cache.get(bucket)
+    def _admit_fn(self, bucket: int, m: int):
+        """One fused call admitting M requests: vmapped prefill + M slot
+        placements. Each admission dispatch costs ~25 ms on a tunneled TPU,
+        so bursts admit in power-of-two groups instead of one call per slot.
+        """
+        fn = self._admit_cache.get((bucket, m))
         if fn is None:
             config = self.config
             n_rows = config.context_frames + 1
@@ -109,48 +112,63 @@ class ContinuousBatchingEngine:
 
             def program(weights, k_cache, v_cache, xa_k, xa_v, hidden, valid,
                         enc_lengths, logical_pos, frame_count, keys,
-                        tokens, enc_length, speaker_id, slot, ring_p, key):
-                xak_s, xav_s, st = magpie_mod.prepare(
-                    tokens, enc_length, speaker_id, weights, config)
-                pad = E - xak_s.shape[1]
-                xak_s = jnp.pad(xak_s, ((0, 0), (0, pad), (0, 0)))
-                xav_s = jnp.pad(xav_s, ((0, 0), (0, pad), (0, 0)))
+                        tokens, enc_length, speaker_id, slots, ring_p,
+                        new_keys):
+                # tokens [M, bucket]; enc_length/speaker_id/slots [M];
+                # new_keys [M, 2]. Prefill all M at once, place one by one.
+                xak_b, xav_b, st_b = jax.vmap(
+                    lambda t, el, sp: magpie_mod.prepare(
+                        t, el, sp, weights, config)
+                )(tokens, enc_length, speaker_id)
+                pad = E - xak_b.shape[2]
+                xak_b = jnp.pad(xak_b, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                xav_b = jnp.pad(xav_b, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
                 # Place prefilled rows so they END at ring row ring_p - 1.
                 shift = (ring_p - n_rows) % S
-                k_rows = st.k_cache[:, :n_rows]
-                v_rows = st.v_cache[:, :n_rows]
-                full = jnp.zeros((k_rows.shape[0], S, k_rows.shape[2]),
-                                 k_cache.dtype)
-                kf = jnp.roll(jax.lax.dynamic_update_slice(
-                    full, k_rows.astype(k_cache.dtype), (0, 0, 0)), shift, axis=1)
-                vf = jnp.roll(jax.lax.dynamic_update_slice(
-                    full, v_rows.astype(v_cache.dtype), (0, 0, 0)), shift, axis=1)
-                vmask = jnp.roll(jnp.arange(S) < n_rows, shift)
 
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, kf[None], (slot, 0, 0, 0))
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, vf[None], (slot, 0, 0, 0))
-                xa_k = jax.lax.dynamic_update_slice(
-                    xa_k, xak_s[None].astype(xa_k.dtype), (slot, 0, 0, 0))
-                xa_v = jax.lax.dynamic_update_slice(
-                    xa_v, xav_s[None].astype(xa_v.dtype), (slot, 0, 0, 0))
-                hidden = jax.lax.dynamic_update_slice(
-                    hidden, st.hidden[None].astype(hidden.dtype), (slot, 0))
-                valid = jax.lax.dynamic_update_slice(valid, vmask[None], (slot, 0))
-                enc_lengths = jax.lax.dynamic_update_slice(
-                    enc_lengths, enc_length[None], (slot,))
-                logical_pos = jax.lax.dynamic_update_slice(
-                    logical_pos, jnp.int32(n_rows)[None], (slot,))
-                frame_count = jax.lax.dynamic_update_slice(
-                    frame_count, jnp.int32(0)[None], (slot,))
-                keys = jax.lax.dynamic_update_slice(keys, key[None], (slot, 0))
+                for i in range(m):
+                    slot = slots[i]
+                    k_rows = st_b.k_cache[i, :, :n_rows]
+                    v_rows = st_b.v_cache[i, :, :n_rows]
+                    full = jnp.zeros((k_rows.shape[0], S, k_rows.shape[2]),
+                                     k_cache.dtype)
+                    kf = jnp.roll(jax.lax.dynamic_update_slice(
+                        full, k_rows.astype(k_cache.dtype), (0, 0, 0)),
+                        shift, axis=1)
+                    vf = jnp.roll(jax.lax.dynamic_update_slice(
+                        full, v_rows.astype(v_cache.dtype), (0, 0, 0)),
+                        shift, axis=1)
+                    vmask = jnp.roll(jnp.arange(S) < n_rows, shift)
+
+                    k_cache = jax.lax.dynamic_update_slice(
+                        k_cache, kf[None], (slot, 0, 0, 0))
+                    v_cache = jax.lax.dynamic_update_slice(
+                        v_cache, vf[None], (slot, 0, 0, 0))
+                    xa_k = jax.lax.dynamic_update_slice(
+                        xa_k, xak_b[i][None].astype(xa_k.dtype),
+                        (slot, 0, 0, 0))
+                    xa_v = jax.lax.dynamic_update_slice(
+                        xa_v, xav_b[i][None].astype(xa_v.dtype),
+                        (slot, 0, 0, 0))
+                    hidden = jax.lax.dynamic_update_slice(
+                        hidden, st_b.hidden[i][None].astype(hidden.dtype),
+                        (slot, 0))
+                    valid = jax.lax.dynamic_update_slice(
+                        valid, vmask[None], (slot, 0))
+                    enc_lengths = jax.lax.dynamic_update_slice(
+                        enc_lengths, enc_length[i][None], (slot,))
+                    logical_pos = jax.lax.dynamic_update_slice(
+                        logical_pos, jnp.int32(n_rows)[None], (slot,))
+                    frame_count = jax.lax.dynamic_update_slice(
+                        frame_count, jnp.int32(0)[None], (slot,))
+                    keys = jax.lax.dynamic_update_slice(
+                        keys, new_keys[i][None], (slot, 0))
                 return (k_cache, v_cache, xa_k, xa_v, hidden, valid,
                         enc_lengths, logical_pos, frame_count, keys)
 
             fn = jax.jit(program, donate_argnums=tuple(range(1, 11)))
-            self._admit_cache[bucket] = fn
+            self._admit_cache[(bucket, m)] = fn
         return fn
 
     def _segment_fn(self, top_k: int):
@@ -293,28 +311,54 @@ class ContinuousBatchingEngine:
         return len(self._queue) + in_flight
 
     def _admit_pending(self):
-        for slot in range(self.n_slots):
-            if self._slot_req[slot] is not None or not self._queue:
-                continue
+        # Collect (slot, request) pairs, group by token bucket, and admit
+        # each group in power-of-two batches — one dispatch per batch.
+        free = [s for s in range(self.n_slots) if self._slot_req[s] is None]
+        pairs = []
+        while free and self._queue:
             req = self._queue.popleft()
+            pairs.append((free.pop(0), req))
+        if not pairs:
+            return
+
+        by_bucket: Dict[int, list] = {}
+        for slot, req in pairs:
             bucket = pick_bucket(self.token_buckets, len(req.token_ids))
-            tokens = np.zeros((bucket,), np.int32)
-            tokens[: len(req.token_ids)] = req.token_ids
-            key = jax.random.fold_in(jax.random.PRNGKey(req.seed), req.req_id)
-            (self.k_cache, self.v_cache, self.xa_k, self.xa_v, self.hidden,
-             self.valid, self.enc_lengths, self.logical_pos, self.frame_count,
-             self.keys) = self._admit_fn(bucket)(
-                self.weights, self.k_cache, self.v_cache, self.xa_k, self.xa_v,
-                self.hidden, self.valid, self.enc_lengths, self.logical_pos,
-                self.frame_count, self.keys,
-                jnp.asarray(tokens), jnp.int32(len(req.token_ids)),
-                jnp.int32(req.speaker_id), jnp.int32(slot),
-                jnp.int32(self.ring_p), key)
-            self.active[slot] = True
-            self._done_host[slot] = False
-            self._counts_host[slot] = 0
-            self._slot_req[slot] = req.req_id
-            self._partial[req.req_id] = []
+            by_bucket.setdefault(bucket, []).append((slot, req))
+
+        for bucket, group in by_bucket.items():
+            while group:
+                m = 1
+                while m * 2 <= len(group) and m * 2 <= self.n_slots:
+                    m *= 2
+                chunk, group = group[:m], group[m:]
+                tokens = np.zeros((m, bucket), np.int32)
+                lens = np.zeros((m,), np.int32)
+                spk = np.zeros((m,), np.int32)
+                slots = np.zeros((m,), np.int32)
+                keys = []
+                for i, (slot, req) in enumerate(chunk):
+                    tokens[i, : len(req.token_ids)] = req.token_ids
+                    lens[i] = len(req.token_ids)
+                    spk[i] = req.speaker_id
+                    slots[i] = slot
+                    keys.append(jax.random.fold_in(
+                        jax.random.PRNGKey(req.seed), req.req_id))
+                (self.k_cache, self.v_cache, self.xa_k, self.xa_v,
+                 self.hidden, self.valid, self.enc_lengths, self.logical_pos,
+                 self.frame_count, self.keys) = self._admit_fn(bucket, m)(
+                    self.weights, self.k_cache, self.v_cache, self.xa_k,
+                    self.xa_v, self.hidden, self.valid, self.enc_lengths,
+                    self.logical_pos, self.frame_count, self.keys,
+                    jnp.asarray(tokens), jnp.asarray(lens), jnp.asarray(spk),
+                    jnp.asarray(slots), jnp.int32(self.ring_p),
+                    jnp.stack(keys))
+                for slot, req in chunk:
+                    self.active[slot] = True
+                    self._done_host[slot] = False
+                    self._counts_host[slot] = 0
+                    self._slot_req[slot] = req.req_id
+                    self._partial[req.req_id] = []
 
     def _retire_finished(self, codes_seg: np.ndarray,
                          counts_before: np.ndarray) -> Dict[int, np.ndarray]:
