@@ -45,6 +45,25 @@ def test_staggered_requests_match_single_stream(rng):
             err_msg=f"request {req_id} ({len(tokens)} tokens) diverged")
 
 
+def test_burst_admission_mixed_buckets(rng):
+    """A burst that admits across two token buckets in one wave (grouped
+    power-of-two batched-admission calls) matches single-stream greedy."""
+    reference = MagpieEngine(WEIGHTS, CONFIG, token_buckets=(16, 32))
+    engine = ContinuousBatchingEngine(
+        WEIGHTS, CONFIG, n_slots=4, token_buckets=(16, 32), segment_frames=6)
+
+    requests = [_tokens(rng, n) for n in (4, 20, 5, 25)]  # buckets 16/32/16/32
+    want = [reference.synthesize_codes(t, temperature=0.0, top_k=1).codes
+            for t in requests]
+    ids = [engine.submit(t) for t in requests]
+    finished = {}
+    while engine.pending:
+        finished.update(engine.step(temperature=0.0, top_k=1))
+    assert sorted(finished) == sorted(ids)
+    for req_id, expect in zip(ids, want):
+        np.testing.assert_array_equal(finished[req_id], expect)
+
+
 def test_slot_reuse_is_clean(rng):
     """A retired slot's leftover cache/mask state must not leak into the next
     request admitted to the same slot."""
