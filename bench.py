@@ -30,7 +30,8 @@ def main():
     from magpie_tts_tpu.io.codec_weights import random_codec_weights
     from magpie_tts_tpu.io.magpie_weights import random_magpie_weights
     from magpie_tts_tpu.parallel.serving import BatchedMagpieEngine
-    from magpie_tts_tpu.runtime.engine import CodecEngine, MagpieEngine
+    from magpie_tts_tpu.runtime.engine import (CodecEngine, MagpieEngine,
+                                               pick_bucket)
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -94,13 +95,17 @@ def main():
     ttfa_ms = 0.0
     streaming_rtf = 0.0
     try:
-        from magpie_tts_tpu.runtime.streaming import StreamParams, stream_sentence
+        from magpie_tts_tpu.runtime.streaming import (StreamParams,
+                                                      stream_sentence,
+                                                      warmup_streaming)
 
         params = StreamParams(temperature=0.7, top_k=80, frames_per_chunk=4)
-        # Warm the prefill + fused decode-and-vocode chunk program (one full
-        # throwaway pass compiles everything the timed pass uses).
-        for _ in stream_sentence(engine, codec, tokens, params):
-            pass
+        # Official streaming warmup: compiles prepare + the fused
+        # decode-and-vocode chunk program this bucket uses — the same API a
+        # serving deployment calls, so the timed TTFA is the honest
+        # post-warmup first-request latency.
+        bucket = pick_bucket(engine.token_buckets, len(tokens))
+        warmup_streaming(engine, codec, params, token_buckets=[bucket])
 
         t0 = time.perf_counter()
         first = None

@@ -61,9 +61,19 @@ def build_serve_parser() -> argparse.ArgumentParser:
 
 
 def serve(argv) -> int:
-    """Continuous-batching serving loop over stdin/stdout."""
+    """Continuous-batching serving loop over stdin/stdout.
+
+    stdin is drained on a reader thread, so requests are ADMITTED WHILE
+    DECODING RUNS: a request submitted after the batch started joins the
+    running batch at the next segment boundary (the reference's streaming
+    loop emits audio while generating, magpie.cpp:4744-4811; here the analog
+    is admission-while-generating). Malformed or failing requests get an
+    ``{"error": ...}`` response line instead of killing the server.
+    """
     import json
     import os
+    import queue
+    import threading
 
     args = build_serve_parser().parse_args(argv)
 
@@ -86,46 +96,102 @@ def serve(argv) -> int:
 
     enable_compilation_cache()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    reader = open_gguf(args.model)
-    config, weights = load_magpie_weights(args.model, reader=reader)
-    tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
-    codec_config, codec_weights = load_codec_weights(args.codec)
+    try:
+        reader = open_gguf(args.model)
+        config, weights = load_magpie_weights(args.model, reader=reader)
+        tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
+        codec_config, codec_weights = load_codec_weights(args.codec)
+    except FileNotFoundError as e:
+        print(f"error: model file not found: {e.filename or e}", file=sys.stderr)
+        return 1
+    except (ValueError, OSError) as e:
+        print(f"error: failed to load model: {e}", file=sys.stderr)
+        return 1
     engine = ContinuousBatchingEngine(
         weights, config, n_slots=args.slots, compute_dtype=dtype,
         segment_frames=args.segment_frames)
     codec = CodecEngine(codec_weights, codec_config, compute_dtype=dtype)
     log(f"serve: {args.slots} slots, segment={args.segment_frames} frames")
 
+    engine.split_token_id = tokenizer.space_id
     os.makedirs(args.out_dir, exist_ok=True)
     names = {}
-    for line in sys.stdin:
+
+    # Reader thread: stdin never blocks the decode loop, so requests are
+    # admitted into the RUNNING batch (None sentinel = EOF).
+    lines: "queue.Queue[str | None]" = queue.Queue()
+    reader = threading.Thread(
+        target=lambda: ([lines.put(ln) for ln in sys.stdin],
+                        lines.put(None)),
+        daemon=True)
+    reader.start()
+
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+
+    def admit(line: str) -> None:
         line = line.strip()
         if not line:
-            continue
+            return
+        req = {"text": line}
         if line.startswith("{"):
-            req = json.loads(line)
-        else:
-            req = {"text": line}
-        rid = engine.submit(tokenizer.encode(req["text"]),
-                            speaker_id=int(req.get("speaker", 0)),
-                            seed=int(req.get("seed", 0)))
-        names[rid] = str(req.get("id", rid))
+            try:
+                req = json.loads(line)
+            except json.JSONDecodeError as e:
+                emit({"error": f"malformed JSON request: {e}"})
+                return
+        rid_name = str(req.get("id", ""))
+        try:
+            text = req["text"]
+            tokens = tokenizer.encode(text)
+            rid = engine.submit(tokens,
+                                speaker_id=int(req.get("speaker", 0)),
+                                seed=int(req.get("seed", 0)))
+        except Exception as e:  # bad field types, empty text, ...
+            emit({"id": rid_name, "error": f"{type(e).__name__}: {e}"})
+            return
+        names[rid] = rid_name or str(rid)
 
     n_done = 0
     t0 = time.perf_counter()
     total_frames = 0
-    while engine.pending:
+    eof = False
+    while not eof or engine.pending:
+        # Drain everything already queued; block only when idle.
+        while True:
+            try:
+                line = lines.get(block=not engine.pending and not eof,
+                                 timeout=None)
+            except queue.Empty:
+                break
+            if line is None:
+                eof = True
+                break
+            admit(line)
+            if engine.pending:
+                # Don't starve the decode loop on a firehose of requests.
+                if lines.empty():
+                    break
+        if not engine.pending:
+            continue
         finished = engine.step(temperature=args.temp, top_k=args.top_k)
-        audios = codec.decode_batch(list(finished.values()))
+        if not finished:
+            continue
+        try:
+            audios = codec.decode_batch(list(finished.values()))
+        except Exception as e:
+            for rid in finished:
+                emit({"id": names.get(rid, str(rid)),
+                      "error": f"codec decode failed: {type(e).__name__}: {e}"})
+            continue
         for (rid, codes), audio in zip(finished.items(), audios):
-            path = os.path.join(args.out_dir, f"{names[rid]}.wav")
+            path = os.path.join(args.out_dir, f"{names.get(rid, rid)}.wav")
             write_wav(path, audio, config.sample_rate)
             total_frames += codes.shape[0]
             n_done += 1
-            print(json.dumps({"id": names[rid], "wav": path,
-                              "frames": int(codes.shape[0]),
-                              "seconds": round(len(audio) / config.sample_rate, 3)}),
-                  flush=True)
+            emit({"id": names.get(rid, str(rid)), "wav": path,
+                  "frames": int(codes.shape[0]),
+                  "seconds": round(len(audio) / config.sample_rate, 3)})
     dt = time.perf_counter() - t0
     log(f"serve: {n_done} requests, {total_frames} frames in {dt:.2f}s "
         f"({total_frames / dt:.0f} aggregate fps)" if dt > 0 else "serve: done")
@@ -156,9 +222,18 @@ def main(argv=None) -> int:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     log(f"loading model {args.model} + codec {args.codec} (dtype={args.dtype})...")
     t0 = time.perf_counter()
-    pipeline = MagpiePipeline.from_gguf(args.model, args.codec, compute_dtype=dtype,
-                                        serve_int8=args.serve_int8,
-                                        use_fused=False if args.no_fused else None)
+    try:
+        pipeline = MagpiePipeline.from_gguf(
+            args.model, args.codec, compute_dtype=dtype,
+            serve_int8=args.serve_int8,
+            use_fused=False if args.no_fused else None)
+    except FileNotFoundError as e:
+        # Reference behavior: clear stderr line + exit 1 (magpie-tts.cpp:140)
+        print(f"error: model file not found: {e.filename or e}", file=sys.stderr)
+        return 1
+    except (ValueError, OSError) as e:
+        print(f"error: failed to load model: {e}", file=sys.stderr)
+        return 1
     log(f"loaded in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()

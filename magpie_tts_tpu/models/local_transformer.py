@@ -117,6 +117,11 @@ def sample_frame_codes(
     seq_buf = jnp.zeros((_MAX_SEQ, config.lt_dim), dtype=wdt)
     seq_buf = seq_buf.at[0].set(_in_proj(decoder_hidden, lt, wdt))
 
+    # One canonical int32 seed per frame; each codebook phase derives its own
+    # noise stream from (seed, cb) — the exact scheme the Pallas kernels use,
+    # so XLA and kernel paths draw identical temp>0 codes from equal logits.
+    seed = sampling.seed_from_key(key)
+
     # Statically unrolled over the 8 codebooks: all per-codebook weight indexing
     # (out_proj heads, audio embedding tables) resolves to static slices, which
     # measures meaningfully faster on TPU than a fori_loop with dynamic gathers.
@@ -130,8 +135,8 @@ def sample_frame_codes(
                          ) + lt.out_proj_b[cb].astype(jnp.float32)
         logits = sampling.mask_logits(logits, static_forbidden_mask, forbid_eos,
                                       config.audio_eos_id)
-        key, subkey = jax.random.split(key)
-        code, amax = sampling.sample_top_k(subkey, logits, temperature, top_k)
+        code, amax = sampling.sample_top_k_deterministic(
+            seed, cb, logits, temperature, top_k)
         sampled.append(code)
         argmaxed.append(amax)
 

@@ -161,7 +161,7 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
             # ONE kernel — the LT compute hides under the decoder weight DMAs.
             from ..ops.pallas_kernels.frame_step import frame_step_pallas
 
-            seed = jax.lax.bitcast_convert_type(subkey[0], jnp.int32)
+            seed = sampling.seed_from_key(subkey)
             sampled, argmax, hidden, k_cache, v_cache = frame_step_pallas(
                 s.hidden, s.pos, xa_k, xa_v, s.k_cache, s.v_cache, weights,
                 config, seed, temperature, top_k, forbid_eos,
@@ -177,7 +177,7 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
         if use_pallas_lt:
             from ..ops.pallas_kernels.lt_sampler import sample_frame_codes_pallas
 
-            seed = jax.lax.bitcast_convert_type(subkey[0], jnp.int32)
+            seed = sampling.seed_from_key(subkey)
             sampled, argmax = sample_frame_codes_pallas(
                 s.hidden, weights, config, seed, temperature, top_k, forbid_eos)
         else:
@@ -313,7 +313,7 @@ def synthesize_codes_batched_program(
 
             B = s.hidden.shape[0]
             pos = jnp.int32(config.context_frames + 1) + s.step
-            seed = jax.lax.bitcast_convert_type(subkeys[0, 0], jnp.int32)
+            seeds = sampling.seed_from_key(subkeys)
             valid = (jnp.arange(config.max_seq)[None, :] <= pos) & \
                 jnp.ones((B, 1), bool)
             posemb = jnp.broadcast_to(
@@ -323,7 +323,7 @@ def synthesize_codes_batched_program(
                 frame_step_batched_pallas(
                     s.hidden, pos, valid, ~s.done, posemb, xa_k, xa_v,
                     s.k_cache, s.v_cache, weights, config, enc_lengths,
-                    seed, temperature, top_k, forbid_eos,
+                    seeds, temperature, top_k, forbid_eos,
                     int8_stream=int8_stream)
             is_eos = jax.vmap(
                 lambda sm, am: sampling.frame_has_eos(
@@ -340,9 +340,9 @@ def synthesize_codes_batched_program(
             from ..ops.pallas_kernels.lt_sampler_batched import (
                 sample_frame_codes_batched_pallas)
 
-            seed = jax.lax.bitcast_convert_type(subkeys[0, 0], jnp.int32)
+            seeds = sampling.seed_from_key(subkeys)
             sampled, argmax = sample_frame_codes_batched_pallas(
-                s.hidden, weights, config, seed, temperature, top_k,
+                s.hidden, weights, config, seeds, temperature, top_k,
                 forbid_eos)
         else:
             sampled, argmax = jax.vmap(sample_one)(s.hidden, subkeys,

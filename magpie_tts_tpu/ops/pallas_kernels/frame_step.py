@@ -61,7 +61,7 @@ def _kernel(hidden_ref, posemb_ref,
             n_cb: int, lt_dim: int, vocab: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int,
             n_layers: int, d_model: int, n_heads: int, d_xa: int,
-            max_seq: int, enc_pad: int, eps: float, use_prng: bool):
+            max_seq: int, enc_pad: int, eps: float):
     i = pl.program_id(0)
     pos = scal_ref[0]
     enc_len = scal_ref[1]
@@ -132,36 +132,15 @@ def _kernel(hidden_ref, posemb_ref,
 
         amax = jnp.argmax(logits).astype(jnp.int32)
 
+        # EXACT top-k membership + counter-based Gumbel noise — the shared
+        # implementation in ops/sampling.py (pure jnp, backend-identical).
+        from ...ops import sampling as _sampling
+
         temp = temp_ref[0]
-        valid = jnp.where(forbidden, jnp.float32(3.4e38), logits)
-        lo0 = jnp.min(valid)
-        hi0 = jnp.max(logits)
-
-        def refine(lo, hi):
-            span = jnp.maximum(hi - lo, 1e-20)
-            steps = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
-            edges = lo + span * (steps.astype(jnp.float32) / 128.0)
-            counts = jnp.sum((logits[:, None] >= edges[None, :])
-                             .astype(jnp.int32), axis=0)
-            sel = jnp.sum((counts >= top_k).astype(jnp.int32)) - 1
-            sel = jnp.clip(sel, 0, 127).astype(jnp.float32)
-            return (lo + span * (sel / 128.0),
-                    jnp.minimum(lo + span * ((sel + 1) / 128.0), hi))
-
-        lo1, hi1 = refine(lo0, hi0)
-        tau, _ = refine(lo1, hi1)
-        in_topk = logits >= tau
-
-        if use_prng:
-            pltpu.prng_seed(flags_ref[1] * jnp.int32(n_cb) + cb)
-            bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)),
-                                 jnp.int32)[0]
-            u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
-                1.0 / (1 << 24))
-            u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
-            gumbel = -jnp.log(-jnp.log(u))
-        else:
-            gumbel = jnp.zeros((vocab,), jnp.float32)
+        in_topk = _sampling.exact_topk_mask(logits[None, :], top_k)[0]
+        base = _sampling.phase_seed(flags_ref[1], cb)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+        gumbel = _sampling.gumbel_from_seed(base, cols2)[0]
         safe_temp = jnp.maximum(temp, 0.01)
         z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
         drawn = jnp.argmax(z).astype(jnp.int32)
@@ -378,7 +357,7 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
         _kernel, n_cb=n_cb, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
         top_k=top_k, audio_bos_id=c.audio_bos_id, audio_eos_id=c.audio_eos_id,
         n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
-        d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps, use_prng=not interpret)
+        d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(

@@ -47,7 +47,6 @@ from .lt_sampler import _pad_rows_to_16
 
 _SEQ = 16       # padded per-slot LT sequence rows (9 used)
 _NEG = -1e30
-_BISECT_ITERS = 14  # span/2^14 tau resolution — see lt_sampler_batched.py
 
 
 def _ln(x, w, eps):
@@ -66,21 +65,20 @@ def _kernel(hidden_ref, posemb_ref,
             # decoder per-layer VMEM blocks
             norms_ref, final_norm_ref, xa_q_ref, xa_out_ref, xa_k_ref,
             xa_v_ref, valid_ref, enc_len_ref,
-            # scalars
-            temp_ref, flags_ref, scal_ref,
+            # scalars / per-slot seeds
+            temp_ref, seeds_ref, scal_ref,
             qkv_s_ref, sao_s_ref, ffp_s_ref, ffo_s_ref,
             # HBM
             qkv_hbm, sao_hbm, ffp_hbm, ffo_hbm, kc_hbm, vc_hbm,
             # outputs
             sampled_ref, argmax_ref, hidden_out_ref, kc_out, vc_out,
             # scratch
-            seq_ref, gum_ref, emb_acc, valid_sc, x_ref, attn_ref,
+            seq_ref, emb_acc, valid_sc, x_ref, attn_ref,
             qkv_sc, sao_buf, ffp_buf, ffo_buf, kbufs, vbufs, sems, *,
             n_cb: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int,
             n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
-            d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int,
-            use_prng: bool):
+            d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int):
     i = pl.program_id(0)
     pos = scal_ref[0]
     B = n_batch
@@ -156,14 +154,6 @@ def _kernel(hidden_ref, posemb_ref,
                      jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
                     & (rws % _SEQ == 0)).astype(jnp.float32)         # [R, B]
             seq_ref[...] = dot_hi(scat, proj.astype(jnp.float32)).astype(wdt)
-            if use_prng:  # one Gumbel draw for all phases (lt_sampler_batched)
-                pltpu.prng_seed(flags_ref[0])
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((n_cb * B, vocab)), jnp.int32)
-                u = (jax.lax.shift_right_logical(bits, 8).astype(jnp.float32)
-                     * (1.0 / (1 << 24)))
-                u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
-                gum_ref[...] = -jnp.log(-jnp.log(u))
 
         x = (seq_ref[...].astype(jnp.float32)
              + lt_pos_ref[...].astype(jnp.float32))
@@ -207,23 +197,14 @@ def _kernel(hidden_ref, posemb_ref,
         amax = jnp.min(jnp.where(logits == row_max, ids, vocab),
                        axis=-1).astype(jnp.int32)                    # [B]
 
-        temp = temp_ref[0]
-        lo = jnp.min(jnp.where(forbidden, jnp.float32(3.4e38), logits),
-                     axis=-1, keepdims=True)
-        hi = row_max + 1.0
-        for _ in range(_BISECT_ITERS):
-            mid = 0.5 * (lo + hi)
-            cnt = jnp.sum((logits >= mid).astype(jnp.int32), axis=-1,
-                          keepdims=True)
-            ok = cnt >= top_k
-            lo = jnp.where(ok, mid, lo)
-            hi = jnp.where(ok, hi, mid)
-        in_topk = logits >= lo
+        # EXACT top-k membership + per-slot counter-based Gumbel noise
+        # (shared implementation, ops/sampling.py — backend-identical).
+        from ...ops import sampling as _sampling
 
-        if use_prng:
-            gumbel = gum_ref[pl.ds(cb * B, B), :]   # drawn once at phase 0
-        else:
-            gumbel = jnp.zeros((B, vocab), jnp.float32)
+        temp = temp_ref[0]
+        in_topk = _sampling.exact_topk_mask(logits, top_k)
+        base = _sampling.phase_seed(seeds_ref[...], cb)             # [B, 1]
+        gumbel = _sampling.gumbel_from_seed(base, ids)
         safe_temp = jnp.maximum(temp, 0.01)
         z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
         z_max = jnp.max(z, axis=-1, keepdims=True)
@@ -423,7 +404,7 @@ def frame_step_batched_pallas(
         xa_k: jnp.ndarray, xa_v: jnp.ndarray,
         k_cache: jnp.ndarray, v_cache: jnp.ndarray,
         weights, config, enc_lengths: jnp.ndarray,
-        seed: jnp.ndarray, temperature: jnp.ndarray, top_k: int,
+        seeds: jnp.ndarray, temperature: jnp.ndarray, top_k: int,
         forbid_eos: jnp.ndarray,
         int8_stream=None, interpret: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -434,7 +415,8 @@ def frame_step_batched_pallas(
     EXISTING rows (the kernel sets column ``write_row`` itself to
     ``may_continue & ~is_eos`` per slot); may_continue: [B] bool (lockstep:
     ~done; continuous: alive & within budget); posemb: [B, d_model] per-slot
-    position-embedding rows (compute dtype); forbid_eos: [B] bool.
+    position-embedding rows (compute dtype); forbid_eos: [B] bool;
+    seeds: [B] int32 per-slot sampling seeds (sampling.seed_from_key).
 
     Returns (sampled [B, 8], argmax [B, 8], hidden [B, d_model],
     k_cache, v_cache); caches [B, L, max_seq, d_model] update in place.
@@ -484,7 +466,7 @@ def frame_step_batched_pallas(
         half_flag = jnp.int32(0)
     scal = jnp.stack([write_row.astype(jnp.int32), half_flag])
     temp_arr = temperature.astype(jnp.float32).reshape(1)
-    flags = seed.astype(jnp.int32).reshape(1)
+    seeds_col = seeds.astype(jnp.int32).reshape(B, 1)
 
     grid = (n_cb + c.dec_layers,)
     kernel = functools.partial(
@@ -492,7 +474,7 @@ def frame_step_batched_pallas(
         vocab_pad=vocab_pad, top_k=top_k, audio_bos_id=c.audio_bos_id,
         audio_eos_id=c.audio_eos_id, n_layers=c.dec_layers, n_batch=B, gb=gb,
         d_model=D, n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E,
-        eps=c.eps, s_half=s_half, use_prng=not interpret)
+        eps=c.eps, s_half=s_half)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(
@@ -539,7 +521,7 @@ def frame_step_batched_pallas(
             const(S, B),                        # valid (i32, transposed)
             const(B, 1),                        # enc_lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),   # temperature
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # flags [seed]
+            const(B, 1),                        # per-slot seeds
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [row, half]
             dec_blk(1, 1, 3 * D),               # qkv scales
             dec_blk(1, 1, D),                   # sa_out scales
@@ -560,7 +542,6 @@ def frame_step_batched_pallas(
         input_output_aliases={35: 3, 36: 4},
         scratch_shapes=[
             pltpu.VMEM((B * _SEQ, c.lt_dim), dtype),   # LT flat seq buffers
-            pltpu.VMEM((n_cb * B, c.vocab_per_cb), jnp.float32),  # gumbel
             pltpu.VMEM((B, D), jnp.float32),           # embedding accumulator
             pltpu.VMEM((S, B), jnp.int32),             # valid incl. new row
             pltpu.VMEM((B, D), jnp.float32),           # x carry
@@ -591,7 +572,7 @@ def frame_step_batched_pallas(
       dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
       xa_k.astype(dtype), xa_v.astype(dtype),
       valid.T.astype(jnp.int32), enc_lengths.astype(jnp.int32).reshape(B, 1),
-      temp_arr, flags, scal,
+      temp_arr, seeds_col, scal,
       qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
       qkv_w, sao_w, ffp_w, ffo_w, k_cache, v_cache)
 

@@ -9,16 +9,17 @@ models/local_transformer.py) with a single pallas_call:
 - the growing projected sequence lives in a VMEM scratch that persists across
   grid steps;
 - sampling happens in-kernel: forbidden-token masking, argmax (EOS detection),
-  top-k threshold via two 128-bin histogram refinement passes, then Gumbel-max
-  over the top-k candidates at the given temperature (the same
-  top-k + temperature softmax categorical distribution as the reference,
-  magpie.cpp:1072-1109);
+  EXACT top-k membership (integer bisection on the float bits,
+  ops/sampling.exact_topk_mask), then Gumbel-max over the top-k candidates at
+  the given temperature (the same top-k + temperature softmax categorical
+  distribution as the reference, magpie.cpp:1072-1109);
 - the sampled code's audio embedding row is fetched by dynamic async DMA and
   re-projected for the next iteration.
 
-Greedy (temp < 0.01) matches models/local_transformer.py exactly; the sampled
-path draws from the same distribution with the on-chip PRNG (seeded from the
-caller, fully deterministic).
+Greedy (temp < 0.01) matches models/local_transformer.py exactly. temp > 0
+uses the shared counter-based noise (ops/sampling.gumbel_from_seed), so the
+draw is a pure function of (seed, codebook, logits) — the same formula the
+XLA path and the batched kernels evaluate, testable in interpret mode.
 """
 
 from __future__ import annotations
@@ -52,7 +53,7 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
             seq_ref, emb_scratch, code_smem, amax_smem, dma_sem, *,
             lt_dim: int, vocab: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int, eps: float,
-            gelu_tanh: bool, n_cb: int, use_prng: bool):
+            gelu_tanh: bool, n_cb: int):
     cb = pl.program_id(0)
 
     in_w = in_proj_w_ref[...]
@@ -105,38 +106,16 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_emb_ref,
 
     amax = jnp.argmax(logits).astype(jnp.int32)
 
-    # --- top-k threshold via two 128-bin histogram refinement passes
+    # --- EXACT top-k membership + counter-based Gumbel noise: the shared
+    # implementation in ops/sampling.py (pure jnp — identical under Mosaic,
+    # XLA and interpret mode; noise depends only on (seed, codebook, column)).
+    from ...ops import sampling as _sampling
+
     temp = temp_ref[0]
-    valid = jnp.where(forbidden, jnp.float32(3.4e38), logits)
-    lo0 = jnp.min(valid)
-    hi0 = jnp.max(logits)
-
-    def refine(lo, hi):
-        span = jnp.maximum(hi - lo, 1e-20)
-        steps = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
-        edges = lo + span * (steps.astype(jnp.float32) / 128.0)
-        counts = jnp.sum((logits[:, None] >= edges[None, :]).astype(jnp.int32),
-                         axis=0)  # decreasing in edge index
-        sel = jnp.sum((counts >= top_k).astype(jnp.int32)) - 1
-        sel = jnp.clip(sel, 0, 127).astype(jnp.float32)
-        return lo + span * (sel / 128.0), jnp.minimum(lo + span * ((sel + 1) / 128.0), hi)
-
-    lo1, hi1 = refine(lo0, hi0)
-    tau, _ = refine(lo1, hi1)
-    in_topk = logits >= tau
-
-    # --- Gumbel-max over the top-k candidates at temperature
-    if use_prng:
-        pltpu.prng_seed(flags_ref[1] * jnp.int32(n_cb) + cb)
-        # Mosaic can't cast uint32->f32; keep bits as int32 and logical-shift
-        # down to 24 bits (non-negative), which casts fine.
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, vocab)), jnp.int32)[0]
-        u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
-            1.0 / (1 << 24))
-        u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
-        gumbel = -jnp.log(-jnp.log(u))
-    else:  # interpret mode: PRNG unavailable; sampled == argmax there
-        gumbel = jnp.zeros((vocab,), jnp.float32)
+    in_topk = _sampling.exact_topk_mask(logits[None, :], top_k)[0]
+    base = _sampling.phase_seed(flags_ref[1], cb)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+    gumbel = _sampling.gumbel_from_seed(base, cols2)[0]
     safe_temp = jnp.maximum(temp, 0.01)
     z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
     drawn = jnp.argmax(z).astype(jnp.int32)
@@ -213,8 +192,7 @@ def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
     kernel = functools.partial(
         _kernel, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
         top_k=top_k, audio_bos_id=c.audio_bos_id, audio_eos_id=c.audio_eos_id,
-        eps=c.eps, gelu_tanh=gelu_tanh, n_cb=c.num_codebooks,
-        use_prng=not interpret)
+        eps=c.eps, gelu_tanh=gelu_tanh, n_cb=c.num_codebooks)
 
     n_cb = c.num_codebooks
 

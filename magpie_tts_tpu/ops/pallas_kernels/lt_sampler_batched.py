@@ -20,10 +20,11 @@ full batch in one pallas_call:
 - attention for the selected rows is one [B, B*16] score matmul with a
   block-diagonal (same-slot) causal mask;
 - sampling is vectorized over rows: forbidden-token masking, per-row argmax
-  (EOS detection), top-k threshold by fixed-iteration bisection on the logit
-  range (the batched replacement for the single-stream kernel's histogram
-  refinement — same contract: the smallest tau with |{logits >= tau}| >= k up
-  to f32 resolution), then Gumbel-max at the given temperature;
+  (EOS detection), EXACT top-k membership (integer bisection on the float
+  bits, ops/sampling.exact_topk_mask — bit-identical to jax.lax.top_k
+  membership modulo value ties), then Gumbel-max at the given temperature
+  with per-slot counter-based noise (ops/sampling.gumbel_from_seed): each
+  slot's draws depend only on its own seed, never on batch composition;
 - the sampled codes' next-codebook embeddings come from the pre-projected
   table by a one-hot matmul gather (1.0/0.0 rows — exact), removing the
   in-kernel 768->lt_dim projection entirely.
@@ -48,12 +49,6 @@ from .lt_sampler import _pad_rows_to_16
 
 _SEQ = 16       # padded per-slot sequence rows (9 used)
 _NEG = -1e30
-# Top-k threshold bisection depth. 14 iters give tau resolution span/2^14 —
-# the same resolution as the single-stream kernel's two-level 128-bin
-# histogram refinement (lt_sampler.py), at ~60 fewer Mosaic ops per codebook
-# phase (op-launch overhead, not arithmetic, dominates these [B, vocab]
-# ops). Greedy (temp=0) parity is unaffected: greedy bypasses top-k.
-_BISECT_ITERS = 14
 
 
 def _layer_norm(x, w, eps):
@@ -67,11 +62,11 @@ def _layer_norm(x, w, eps):
 def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
             norm_self_ref, qkv_ref, sa_out_ref, norm_ff_ref, ff_proj_ref,
             ff_out_ref, out_w_ref, out_b_ref, proj_emb_ref, forbid_ref,
-            temp_ref, flags_ref,
-            sampled_ref, argmax_ref, seq_ref, gum_ref, *,
+            seeds_ref, temp_ref,
+            sampled_ref, argmax_ref, seq_ref, *,
             n_batch: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int, eps: float,
-            gelu_tanh: bool, n_cb: int, use_prng: bool):
+            gelu_tanh: bool, n_cb: int):
     cb = pl.program_id(0)
     B = n_batch
     R = B * _SEQ
@@ -87,16 +82,6 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
         scat = ((rows // _SEQ == jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
                 & (rows % _SEQ == 0)).astype(jnp.float32)           # [R, B]
         seq_ref[...] = dot_hi(scat, proj.astype(jnp.float32)).astype(wdt)
-        # One Gumbel draw for ALL codebook phases (slices read per phase):
-        # the ~10-op noise chain per phase is pure op-launch overhead.
-        if use_prng:
-            pltpu.prng_seed(flags_ref[0])
-            bits = pltpu.bitcast(
-                pltpu.prng_random_bits((n_cb * B, vocab)), jnp.int32)
-            u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
-                1.0 / (1 << 24))
-            u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
-            gum_ref[...] = -jnp.log(-jnp.log(u))
 
     # ---- LT layer over the flat buffer; rows beyond cb are causally inert.
     x = seq_ref[...].astype(jnp.float32) + pos_tiled_ref[...].astype(jnp.float32)
@@ -142,25 +127,14 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
     amax = jnp.min(jnp.where(logits == row_max, ids, vocab),
                    axis=-1).astype(jnp.int32)                       # [B]
 
-    # ---- top-k threshold by bisection: smallest tau with count(tau) >= k.
-    temp = temp_ref[0]
-    lo = jnp.min(jnp.where(forbidden, jnp.float32(3.4e38), logits),
-                 axis=-1, keepdims=True)                            # [B, 1]
-    hi = row_max + 1.0
-    for _ in range(_BISECT_ITERS):
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((logits >= mid).astype(jnp.int32), axis=-1,
-                      keepdims=True)
-        ok = cnt >= top_k
-        lo = jnp.where(ok, mid, lo)
-        hi = jnp.where(ok, hi, mid)
-    in_topk = logits >= lo
+    # ---- EXACT top-k membership + per-slot counter-based Gumbel noise
+    # (shared implementation, ops/sampling.py — backend-identical).
+    from ...ops import sampling as _sampling
 
-    # ---- Gumbel-max over the top-k candidates at temperature
-    if use_prng:
-        gumbel = gum_ref[pl.ds(cb * B, B), :]   # drawn once at phase 0
-    else:  # interpret mode: PRNG unavailable; sampled == argmax there
-        gumbel = jnp.zeros((B, vocab), jnp.float32)
+    temp = temp_ref[0]
+    in_topk = _sampling.exact_topk_mask(logits, top_k)
+    base = _sampling.phase_seed(seeds_ref[...], cb)                 # [B, 1]
+    gumbel = _sampling.gumbel_from_seed(base, ids)
     safe_temp = jnp.maximum(temp, 0.01)
     z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
     z_max = jnp.max(z, axis=-1, keepdims=True)
@@ -201,13 +175,13 @@ def batched_shapes_ok(n_batch: int) -> bool:
 
 def sample_frame_codes_batched_pallas(
         hidden: jnp.ndarray, weights, config,
-        seed: jnp.ndarray, temperature: jnp.ndarray, top_k: int,
+        seeds: jnp.ndarray, temperature: jnp.ndarray, top_k: int,
         forbid_eos: jnp.ndarray, gelu_tanh: bool = False,
         interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """hidden: [B, d_model], forbid_eos: [B] bool -> (sampled, argmax) [B, 8].
 
-    ``seed``: int32 scalar; fold the frame index in before calling. Per-slot
-    randomness comes from the row dimension of the on-chip PRNG draw.
+    ``seeds``: int32 [B] per-slot seeds (sampling.seed_from_key of each slot's
+    per-frame subkey); every slot's draws are a pure function of its own seed.
     """
     lt = weights.lt
     c = config
@@ -235,13 +209,13 @@ def sample_frame_codes_batched_pallas(
     pos_tiled = jnp.tile(pos_pad, (B, 1))
 
     temp_arr = temperature.astype(jnp.float32).reshape(1)
-    flags = seed.astype(jnp.int32).reshape(1)
+    seeds_col = seeds.astype(jnp.int32).reshape(B, 1)
 
     kernel = functools.partial(
         _kernel, n_batch=B, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
         vocab_pad=vocab_pad, top_k=top_k, audio_bos_id=c.audio_bos_id,
         audio_eos_id=c.audio_eos_id, eps=c.eps, gelu_tanh=gelu_tanh,
-        n_cb=n_cb, use_prng=not interpret)
+        n_cb=n_cb)
 
     def vm(*blk):
         return pl.BlockSpec(blk, lambda cb: tuple(0 for _ in blk))
@@ -266,14 +240,13 @@ def sample_frame_codes_batched_pallas(
             pl.BlockSpec((1, 1, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
             pl.BlockSpec((1, vocab_pad, c.lt_dim), lambda cb: (cb, 0, 0)),
             vm(B, 1),                         # forbid_eos per slot
+            vm(B, 1),                         # per-slot seeds
             pl.BlockSpec(memory_space=pltpu.SMEM),     # temperature
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # flags [seed]
         ],
         out_specs=(pl.BlockSpec((n_cb, B), lambda cb: (0, 0)),
                    pl.BlockSpec((n_cb, B), lambda cb: (0, 0))),
         scratch_shapes=[
             pltpu.VMEM((B * _SEQ, c.lt_dim), dtype),   # flat seq buffers
-            pltpu.VMEM((n_cb * B, c.vocab_per_cb), jnp.float32),  # gumbel
         ],
         interpret=interpret,
     )(hidden, lt.in_proj_w.astype(dtype),
@@ -284,6 +257,6 @@ def sample_frame_codes_batched_pallas(
       lt.out_proj_w.astype(dtype),
       lt.out_proj_b.astype(jnp.float32).reshape(n_cb, 1, -1),
       proj_emb, forbid_eos.astype(jnp.int32).reshape(B, 1),
-      temp_arr, flags)
+      seeds_col, temp_arr)
 
     return sampled.T, argmax.T

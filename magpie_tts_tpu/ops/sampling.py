@@ -22,6 +22,81 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 GREEDY_TEMP_THRESHOLD = 0.01
 
+# Odd 32-bit mixing constants (murmur3 finalizer + a Weyl/phase increment),
+# expressed as int32 two's-complement literals.
+_MIX_A = -2048144789      # 0x85EBCA6B
+_MIX_B = -1028477379      # 0xC2B2AE35
+_GOLDEN = -1640531527     # 0x9E3779B9
+_PHASE_C = 747796405      # 0x2C9277B5 (PCG increment; odd)
+
+
+def seed_from_key(key: jax.Array) -> jnp.ndarray:
+    """Canonical int32 seed from a raw uint32[2] PRNG key (both words mixed).
+
+    Every sampling path (XLA and Pallas kernels) derives its counter-based
+    noise from this seed, so a given (key, codebook-phase) pair draws the same
+    noise no matter which path executes it.
+    """
+    folded = key[..., 0] ^ key[..., 1]
+    return jax.lax.bitcast_convert_type(folded, jnp.int32)
+
+
+def phase_seed(seed: jnp.ndarray, phase) -> jnp.ndarray:
+    """Per-codebook-phase seed derivation (int32 wraparound)."""
+    return seed + jnp.int32(phase) * jnp.int32(_PHASE_C)
+
+
+def _fmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer: full avalanche on int32 (wraparound arithmetic)."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(_MIX_A)
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * jnp.int32(_MIX_B)
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def gumbel_from_seed(base_seed: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """Counter-based Gumbel(0,1) noise: ``-log(-log(hash(seed, col)))``.
+
+    ``base_seed``: int32, broadcastable against ``cols`` (int32 column ids).
+    Stateless — unlike ``pltpu.prng_random_bits`` it needs no on-chip PRNG, so
+    it runs identically under jit, in Pallas kernels, and in interpret mode,
+    and per-row seeds give every batch slot its own independent stream (a
+    request's draws depend only on its own key, not on batch composition).
+    """
+    h = _fmix32(base_seed + cols * jnp.int32(_GOLDEN))
+    # Top 24 bits -> exact f32 uniform in [0, 1).
+    u = jax.lax.shift_right_logical(h, 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
+    return -jnp.log(-jnp.log(u))
+
+
+def exact_topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """EXACT top-k membership mask over the last axis (no approximation).
+
+    Finds the k-th largest logit VALUE by 32-iteration integer bisection on the
+    monotone int32 transform of the float bits, then returns
+    ``logits >= kth_value``. The admitted set equals ``jax.lax.top_k``
+    membership exactly, except when several entries TIE the k-th value bit-for-
+    bit (then all ties are admitted — same class of tie-freedom as the
+    reference's partial sort, magpie.cpp:1072-1109). Integer compares only, so
+    the result is identical on every backend (XLA CPU/TPU, Mosaic, interpret).
+    """
+    bits = jax.lax.bitcast_convert_type(logits.astype(jnp.float32), jnp.int32)
+    # Monotone key: f1 < f2  <=>  key(f1) < key(f2) (signed int32; +/-0 equal).
+    keys = jnp.where(bits >= 0, bits, jnp.int32(-2147483648) - bits)
+    lo = jnp.min(keys, axis=-1, keepdims=True)        # count(>= lo) == n >= k
+    hi = jnp.max(keys, axis=-1, keepdims=True) + 1    # count(>= hi) == 0 < k
+    for _ in range(32):
+        # Overflow-safe midpoint (lo/hi may straddle the int32 range).
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        cnt = jnp.sum((keys >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        ok = cnt >= k
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+    return keys >= lo
+
 
 def forbidden_token_mask(vocab_size: int, audio_bos_id: int = 2016,
                          audio_eos_id: int = 2017) -> jnp.ndarray:
@@ -53,6 +128,27 @@ def sample_top_k(key: jax.Array, logits: jnp.ndarray, temperature: jnp.ndarray,
     sampled = jnp.take_along_axis(idx, draw[..., None], axis=-1)[..., 0].astype(jnp.int32)
     greedy = temperature < GREEDY_TEMP_THRESHOLD
     return jnp.where(greedy, argmax_id, sampled), argmax_id
+
+
+def sample_top_k_deterministic(seed: jnp.ndarray, phase, logits: jnp.ndarray,
+                               temperature: jnp.ndarray, top_k: int
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sampled_id, argmax_id) from masked logits [vocab] via the shared
+    counter-based scheme: EXACT top-k membership (``exact_topk_mask``) +
+    Gumbel-max with ``gumbel_from_seed`` noise. The Pallas kernels implement
+    the same formula on the same seeds, so a (seed, phase) pair draws the same
+    candidate and noise everywhere; greedy (temp < 0.01) is pure argmax.
+    """
+    argmax_id = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    k = min(top_k, logits.shape[-1])
+    in_topk = exact_topk_mask(logits, k)
+    cols = jnp.arange(logits.shape[-1], dtype=jnp.int32)
+    gumbel = gumbel_from_seed(phase_seed(seed, phase), cols)
+    safe_temp = jnp.maximum(temperature, GREEDY_TEMP_THRESHOLD)
+    z = jnp.where(in_topk, logits / safe_temp + gumbel, NEG_INF)
+    drawn = jnp.argmax(z, axis=-1).astype(jnp.int32)
+    greedy = temperature < GREEDY_TEMP_THRESHOLD
+    return jnp.where(greedy, argmax_id, drawn), argmax_id
 
 
 def frame_has_eos(sampled: jnp.ndarray, argmax: jnp.ndarray, audio_eos_id: int) -> jnp.ndarray:

@@ -92,6 +92,13 @@ class ContinuousBatchingEngine:
         self._partial: Dict[int, List[np.ndarray]] = {}
         self._finished: Dict[int, np.ndarray] = {}
         self._next_id = 0
+        # Over-long requests are split into child requests (word-boundary
+        # chunks); the parent id is reported once every child finished.
+        self._groups: Dict[int, List[int]] = {}
+        self._group_parent: Dict[int, int] = {}
+        # Inter-word space token for chunk splitting (serve passes the
+        # tokenizer's actual id).
+        self.split_token_id = 93
 
         self._admit_cache: Dict[int, object] = {}
         self._segment_cache: Dict[int, object] = {}
@@ -213,8 +220,7 @@ class ContinuousBatchingEngine:
                         from ..ops.pallas_kernels.frame_step_batched import (
                             frame_step_batched_pallas)
 
-                        seed = jax.lax.bitcast_convert_type(
-                            subkeys[0, 0], jnp.int32)
+                        seeds = sampling.seed_from_key(subkeys)
                         may_continue = alive & (
                             frame_count < config.max_dec_steps)
                         lp = jnp.clip(logical_pos, 0, config.max_pos - 1)
@@ -223,7 +229,7 @@ class ContinuousBatchingEngine:
                             frame_step_batched_pallas(
                                 hidden, r, valid, may_continue, posemb,
                                 xa_k, xa_v, k_cache, v_cache, weights, config,
-                                enc_lengths, seed, temperature, top_k, forbid)
+                                enc_lengths, seeds, temperature, top_k, forbid)
                         is_eos = jax.vmap(
                             lambda s, a: sampling.frame_has_eos(
                                 s, a, config.audio_eos_id))(sampled, argmax)
@@ -240,10 +246,9 @@ class ContinuousBatchingEngine:
 
                     if (magpie_mod.use_pallas_default(config)
                             and batched_shapes_ok(self.n_slots)):
-                        seed = jax.lax.bitcast_convert_type(
-                            subkeys[0, 0], jnp.int32)
+                        seeds = sampling.seed_from_key(subkeys)
                         sampled, argmax = sample_frame_codes_batched_pallas(
-                            hidden, weights, config, seed, temperature, top_k,
+                            hidden, weights, config, seeds, temperature, top_k,
                             forbid)
                     else:
                         sampled, argmax = jax.vmap(sample_one)(
@@ -300,9 +305,31 @@ class ContinuousBatchingEngine:
 
     def submit(self, token_ids: Sequence[int], *, speaker_id: int = 0,
                seed: int = 0) -> int:
+        """Queue one request; returns its id. Requests longer than the
+        largest token bucket split into word-boundary child chunks that decode
+        (possibly concurrently) in separate slots; the request id is reported
+        finished once all chunks are, with their codes concatenated in order.
+        """
+        from ..runtime.engine import split_to_buckets
+
+        chunks = split_to_buckets(token_ids, self.token_buckets,
+                                  self.split_token_id,
+                                  self.config.text_bos_id,
+                                  self.config.text_eos_id)
         req_id = self._next_id
         self._next_id += 1
-        self._queue.append(_Request(req_id, list(token_ids), speaker_id, seed))
+        if len(chunks) == 1:
+            self._queue.append(_Request(req_id, chunks[0], speaker_id, seed))
+            return req_id
+        children = []
+        for i, chunk in enumerate(chunks):
+            child_id = req_id if i == 0 else self._next_id
+            if i > 0:
+                self._next_id += 1
+            children.append(child_id)
+            self._group_parent[child_id] = req_id
+            self._queue.append(_Request(child_id, chunk, speaker_id, seed + i))
+        self._groups[req_id] = children
         return req_id
 
     @property
@@ -379,7 +406,31 @@ class ContinuousBatchingEngine:
                 self._finished[req_id] = codes
                 self._slot_req[slot] = None
                 self.active[slot] = False
-        return finished
+        return self._resolve_groups(finished)
+
+    def _resolve_groups(self, finished: Dict[int, np.ndarray]
+                        ) -> Dict[int, np.ndarray]:
+        """Map finished chunk-children onto their parent request: the parent
+        id surfaces (codes concatenated in chunk order) only once every child
+        is done; ungrouped requests pass through unchanged."""
+        out: Dict[int, np.ndarray] = {}
+        for rid, codes in finished.items():
+            parent = self._group_parent.get(rid)
+            if parent is None:
+                out[rid] = codes
+                continue
+            children = self._groups[parent]
+            if all(c in self._finished for c in children):
+                joined = np.concatenate(
+                    [self._finished[c] for c in children], axis=0)
+                for c in children:
+                    if c != parent:
+                        self._finished.pop(c, None)
+                    self._group_parent.pop(c, None)
+                self._groups.pop(parent)
+                self._finished[parent] = joined
+                out[parent] = joined
+        return out
 
     def step(self, *, temperature: float = 0.7,
              top_k: int = 80) -> Dict[int, np.ndarray]:

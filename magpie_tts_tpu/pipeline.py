@@ -36,7 +36,8 @@ class MagpiePipeline:
         config, weights = load_magpie_weights(model_path, reader=reader)
         tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
         engine = MagpieEngine(weights, config, compute_dtype=compute_dtype,
-                              serve_int8=serve_int8, use_fused=use_fused)
+                              serve_int8=serve_int8, use_fused=use_fused,
+                              split_token_id=tokenizer.space_id)
         codec = None
         if codec_path:
             codec_config, codec_weights = load_codec_weights(codec_path)
@@ -67,10 +68,25 @@ class MagpiePipeline:
         """text -> 16-bit PCM WAV. PCM conversion happens ON DEVICE (int16
         transfer is half the float one — the dominant single-utterance
         device->host cost on tunneled links)."""
+        if self.codec is None:
+            raise ValueError("no codec loaded; pass codec_path to from_gguf")
         codes = self.synthesize_codes(text, **kwargs)
         samples = self.codec.decode(codes, pcm16=True)
         write_wav(output_path, samples, self.config.sample_rate)
         return len(samples)
+
+    def warmup(self, *, streaming_path: bool = False, top_k: int = 80,
+               token_buckets: Optional[Sequence[int]] = None,
+               params: Optional[streaming.StreamParams] = None) -> None:
+        """Pre-compile the offline path (and with ``streaming_path=True`` the
+        REAL fused streaming chunk programs) so no request pays a compile."""
+        if streaming_path:
+            if self.codec is None:
+                raise ValueError("no codec loaded; pass codec_path to from_gguf")
+            streaming.warmup_streaming(self.engine, self.codec, params,
+                                       token_buckets=token_buckets)
+        else:
+            self.engine.warmup(token_buckets=token_buckets, top_k=top_k)
 
     def stream(self, text: str,
                params: Optional[streaming.StreamParams] = None

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
+import itertools
 from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -29,7 +30,12 @@ from ..io.magpie_weights import MagpieWeights
 from ..models import codec as codec_mod
 from ..models import magpie as magpie_mod
 
-DEFAULT_TOKEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
+# Monotone engine ids for compiled-program cache keys: unlike id(), a uid is
+# never reused after garbage collection, so a new engine can't hit a stale
+# closure compiled against a dead instance's constants.
+_ENGINE_UIDS = itertools.count()
+
+DEFAULT_TOKEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
 # Minimum 32: vocoding a padded 32-frame bucket costs ~4ms on device, while
 # every extra bucket costs a full vocoder compile (tens of seconds cold).
 DEFAULT_FRAME_BUCKETS = (32, 64, 128, 256, 384, 512)
@@ -40,6 +46,20 @@ def pick_bucket(buckets: Sequence[int], n: int) -> int:
     if idx == len(buckets):
         raise ValueError(f"length {n} exceeds largest bucket {buckets[-1]}")
     return buckets[idx]
+
+
+def split_to_buckets(token_ids: Sequence[int], buckets: Sequence[int],
+                     split_id: int, bos_id: int, eos_id: int):
+    """Token lists longer than the largest bucket become several <=bucket
+    chunks split at word boundaries (``chunk_token_ids``); shorter ones pass
+    through whole. The intra-sentence analog of sentence chunking — the
+    reference sizes graphs per enc_seq so ANY length runs
+    (magpie.cpp:2284-2374); with bucketed compiles, unbounded input maps to
+    bounded shapes by chunking instead of crashing."""
+    from ..text.tokenizer import chunk_token_ids
+
+    return chunk_token_ids(list(token_ids), buckets[-1], split_id,
+                           bos_id, eos_id)
 
 
 @dataclasses.dataclass
@@ -61,8 +81,12 @@ class MagpieEngine:
         use_pallas_decoder: bool = None,
         use_fused: bool = None,
         serve_int8: bool = False,
+        split_token_id: int = 93,
     ):
         self.config = config
+        # Inter-word space token used to split over-long inputs into bucket-
+        # sized chunks (pipeline overrides with the tokenizer's actual id).
+        self.split_token_id = split_token_id
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.weights = (weights if weights.text_emb.dtype == self.compute_dtype
                         else weights.astype(self.compute_dtype))
@@ -79,9 +103,14 @@ class MagpieEngine:
             from ..io.magpie_weights import quantize_decoder_stream
 
             self.int8_stream = quantize_decoder_stream(self.weights.decoder)
+        self.uid = next(_ENGINE_UIDS)
         self._synth_cache: Dict[Tuple[int, int], object] = {}
         self._prepare_cache: Dict[int, object] = {}
         self._chunk_cache: Dict[Tuple[int, int], object] = {}
+        # Fused cross-engine programs (codes+vocode in one dispatch) live on
+        # the instance so they die with it; keyed by the codec's uid.
+        self._fused_audio_cache: Dict[Tuple, object] = {}
+        self._fused_chunk_cache: Dict[Tuple, object] = {}
 
     # ---- compiled program management -------------------------------------
 
@@ -157,19 +186,42 @@ class MagpieEngine:
     def synthesize_codes(self, token_ids: Sequence[int], *, speaker_id: int = 0,
                          temperature: float = 0.7, top_k: int = 80,
                          seed: int = 0) -> SynthesisResult:
-        """Generate audio codes for one tokenized utterance (blocking)."""
-        tokens, enc_length, bucket = self._pad_tokens(token_ids)
-        fn = self._synth_fn(bucket, top_k)
-        codes, n_frames = fn(self.weights, self.int8_stream, tokens, enc_length,
-                             jnp.int32(speaker_id), jax.random.PRNGKey(seed),
-                             jnp.float32(temperature))
-        n = int(n_frames)
-        return SynthesisResult(codes=np.asarray(codes[:n]), n_frames=n)
+        """Generate audio codes for one tokenized utterance (blocking).
+
+        Inputs longer than the largest token bucket are split at word
+        boundaries and synthesized chunk by chunk (decoder state resets per
+        chunk, like the reference's per-sentence loop); the code streams are
+        concatenated. Arbitrary lengths synthesize — never a shape error.
+        """
+        chunks = split_to_buckets(token_ids, self.token_buckets,
+                                  self.split_token_id, self.config.text_bos_id,
+                                  self.config.text_eos_id)
+        parts = []
+        for i, chunk in enumerate(chunks):
+            tokens, enc_length, bucket = self._pad_tokens(chunk)
+            fn = self._synth_fn(bucket, top_k)
+            # Chunk 0 keeps the exact key the unchunked path always used
+            # (bit-compat); later chunks fold in their index.
+            key = (jax.random.PRNGKey(seed) if i == 0
+                   else jax.random.fold_in(jax.random.PRNGKey(seed), i))
+            codes, n_frames = fn(self.weights, self.int8_stream, tokens,
+                                 enc_length, jnp.int32(speaker_id), key,
+                                 jnp.float32(temperature))
+            parts.append(np.asarray(codes[: int(n_frames)]))
+        codes = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+        return SynthesisResult(codes=codes, n_frames=codes.shape[0])
 
     def warmup(self, *, token_buckets: Sequence[int] = None, top_k: int = 80,
                streaming: bool = False) -> None:
         """Pre-compile synthesis programs for the given (default: all) token
-        buckets so no request pays a compile."""
+        buckets so no request pays a compile.
+
+        ``streaming=True`` warms the SPLIT incremental path (prepare +
+        decode_chunk) used by direct ``decode_chunk`` callers. Production
+        streaming (``runtime.streaming.stream_sentence``) runs a different,
+        fused decode+vocode program that needs the codec — warm that with
+        ``runtime.streaming.warmup_streaming(engine, codec, ...)`` or
+        ``MagpiePipeline.warmup(streaming=True)``."""
         for bucket in (token_buckets or self.token_buckets):
             tokens = [self.config.text_bos_id, self.config.text_eos_id]
             tokens += [2] * (bucket - len(tokens))
@@ -210,9 +262,6 @@ class MagpieEngine:
         return new_codes, done
 
 
-_FUSED_AUDIO_CACHE: Dict[Tuple, object] = {}
-
-
 def synthesize_audio_fused(engine: "MagpieEngine", codec: "CodecEngine",
                            token_ids: Sequence[int], *, speaker_id: int = 0,
                            temperature: float = 0.7, top_k: int = 80,
@@ -231,9 +280,23 @@ def synthesize_audio_fused(engine: "MagpieEngine", codec: "CodecEngine",
     """
     import jax
 
+    chunks = split_to_buckets(token_ids, engine.token_buckets,
+                              engine.split_token_id, engine.config.text_bos_id,
+                              engine.config.text_eos_id)
+    if len(chunks) > 1:
+        # Over-long input: synthesize word-boundary chunks and concatenate
+        # their PCM (decoder state resets per chunk, like per-sentence).
+        parts = [synthesize_audio_fused(engine, codec, c,
+                                        speaker_id=speaker_id,
+                                        temperature=temperature, top_k=top_k,
+                                        seed=seed + i)
+                 for i, c in enumerate(chunks)]
+        pcm = np.concatenate([p[0] for p in parts])
+        return pcm, sum(p[1] for p in parts)
+
     tokens, enc_length, bucket = engine._pad_tokens(token_ids)
-    key = (id(engine), id(codec), bucket, top_k)
-    fn = _FUSED_AUDIO_CACHE.get(key)
+    key = (codec.uid, bucket, top_k)
+    fn = engine._fused_audio_cache.get(key)
     if fn is None:
         mc = engine.config
         ccfg = codec.config
@@ -256,7 +319,7 @@ def synthesize_audio_fused(engine: "MagpieEngine", codec: "CodecEngine",
             return pcm, n_frames
 
         fn = jax.jit(program)
-        _FUSED_AUDIO_CACHE[key] = fn
+        engine._fused_audio_cache[key] = fn
     pcm, n_frames = fn(engine.weights, engine.int8_stream, codec.weights,
                        tokens, enc_length, jnp.int32(speaker_id),
                        jax.random.PRNGKey(seed), jnp.float32(temperature))
@@ -277,6 +340,7 @@ class CodecEngine:
                         else weights.astype(self.compute_dtype))
         self.frame_buckets = tuple(frame_buckets)
         self.use_pallas = use_pallas
+        self.uid = next(_ENGINE_UIDS)
         self._decode_cache: Dict[int, object] = {}
         self._decode_batch_cache: Dict[object, object] = {}
 

@@ -66,9 +66,6 @@ class AudioChunk:
     is_sentence_end: bool
 
 
-_FUSED_CHUNK_CACHE: dict = {}
-
-
 def _fused_chunk_fn(engine: MagpieEngine, codec: CodecEngine,
                     bucket: int, top_k: int, k: int, ctx: int):
     """One compiled program per (engines, bucket, top_k, k, ctx): advance the
@@ -81,8 +78,8 @@ def _fused_chunk_fn(engine: MagpieEngine, codec: CodecEngine,
     caps streaming RTF near 1x); folding the scalars into the audio array
     keeps it to exactly two.
     """
-    key = (id(engine), id(codec), bucket, top_k, k, ctx)
-    fn = _FUSED_CHUNK_CACHE.get(key)
+    key = (codec.uid, bucket, top_k, k, ctx)
+    fn = engine._fused_chunk_cache.get(key)
     if fn is not None:
         return fn
 
@@ -121,7 +118,7 @@ def _fused_chunk_fn(engine: MagpieEngine, codec: CodecEngine,
         return state, jnp.concatenate([audio.astype(jnp.float32), meta])
 
     fn = jax.jit(prog, donate_argnums=(5,))
-    _FUSED_CHUNK_CACHE[key] = fn
+    engine._fused_chunk_cache[key] = fn
     return fn
 
 
@@ -144,6 +141,7 @@ def stream_sentence(engine: MagpieEngine, codec: CodecEngine,
 
     done = False
     chunk_idx = 0
+    stalls = 0
     while not done:
         rng_key = jax.random.fold_in(jax.random.PRNGKey(params.seed), chunk_idx)
         state, flat = fn(engine.weights, engine.int8_stream, codec.weights,
@@ -161,7 +159,15 @@ def stream_sentence(engine: MagpieEngine, codec: CodecEngine,
         if n_new <= 0:
             if done:
                 break
+            # A live stream must advance every chunk; re-dispatching the same
+            # chunk forever would hang the caller, so fail loudly instead.
+            stalls += 1
+            if stalls >= 2:
+                raise RuntimeError(
+                    "streaming decode made no progress (frame_idx stuck at "
+                    f"{end}) — decode_loop returned neither frames nor EOS")
             continue
+        stalls = 0
         off = start - base
         yield AudioChunk(
             samples=audio[off * hop: (off + n_new) * hop].astype(np.float32),
@@ -172,17 +178,47 @@ def stream_sentence(engine: MagpieEngine, codec: CodecEngine,
         )
 
 
+def warmup_streaming(engine: MagpieEngine, codec: CodecEngine,
+                     params: Optional[StreamParams] = None,
+                     token_buckets=None) -> None:
+    """Compile the REAL streaming path for each token bucket.
+
+    Production streaming runs the fused decode+vocode chunk program
+    (``_fused_chunk_fn``), not the split ``decode_chunk`` program that
+    ``engine.warmup(streaming=True)`` compiles — so this is the warmup that
+    makes a first streaming request's TTFA equal steady state. One chunk per
+    bucket is pulled (compiling prepare + the fused chunk program), then the
+    stream is abandoned.
+    """
+    params = params or StreamParams()
+    for bucket in (token_buckets or engine.token_buckets):
+        tokens = [engine.config.text_bos_id] + [2] * (bucket - 2) + \
+            [engine.config.text_eos_id]
+        for _ in stream_sentence(engine, codec, tokens, params):
+            break
+
+
 def stream_text(engine: MagpieEngine, codec: CodecEngine, tokenizer,
                 text: str, params: StreamParams) -> Iterator[AudioChunk]:
-    """Sentence-chunked streaming over arbitrary text."""
+    """Sentence-chunked streaming over arbitrary text.
+
+    A sentence longer than the engine's largest token bucket is further split
+    at word boundaries (``split_to_buckets``), so arbitrarily long
+    unpunctuated input streams instead of raising."""
+    from .engine import split_to_buckets
+
     sentences = split_sentences(text) if params.sentence_chunking else [text]
     if not sentences:
         return
     for idx, sentence in enumerate(sentences):
         token_ids = tokenizer.encode(sentence)
-        yield from stream_sentence(engine, codec, token_ids, params,
-                                   sentence_index=idx,
-                                   total_sentences=len(sentences))
+        for piece in split_to_buckets(token_ids, engine.token_buckets,
+                                      engine.split_token_id,
+                                      engine.config.text_bos_id,
+                                      engine.config.text_eos_id):
+            yield from stream_sentence(engine, codec, piece, params,
+                                       sentence_index=idx,
+                                       total_sentences=len(sentences))
 
 
 def synthesize_streaming(engine: MagpieEngine, codec: CodecEngine, tokenizer,

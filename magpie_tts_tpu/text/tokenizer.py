@@ -115,3 +115,45 @@ class MagpieTokenizer:
 def _ascii_lower(text: str) -> str:
     """ASCII-only lowercasing (multi-byte chars untouched, unlike str.lower())."""
     return "".join(chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in text)
+
+
+def chunk_token_ids(token_ids: List[int], max_len: int, split_id: int,
+                    bos_id: int, eos_id: int) -> List[List[int]]:
+    """Split one tokenized utterance into <=``max_len`` chunks at inter-word
+    space-token boundaries, re-wrapping each chunk with BOS/EOS.
+
+    The intra-sentence analog of sentence chunking for inputs longer than the
+    largest compiled bucket: the reference sizes graphs per enc_seq so any
+    length runs (magpie.cpp:2284-2374); NeMo's own longform strategy is
+    text-level chunking (reference docs/MAGPIE_INFERENCE_FINDINGS.md:206-212).
+    A chunk with no space token inside the budget is hard-cut (e.g. one
+    gigantic OOV word) — still synthesizes, never raises.
+    """
+    ids = list(token_ids)
+    if len(ids) <= max_len:
+        return [ids]
+    if max_len < 4:
+        raise ValueError(f"max_len {max_len} too small to chunk")
+    body = ids[1:] if ids and ids[0] == bos_id else ids
+    if body and body[-1] == eos_id:
+        body = body[:-1]
+    budget = max_len - 2  # room for the BOS/EOS wrap
+    chunks: List[List[int]] = []
+    start = 0
+    while start < len(body):
+        end = min(start + budget, len(body))
+        if end < len(body):
+            # Cut at the LAST space inside the window (the space is dropped —
+            # it only separated the words now split across chunks).
+            cut = -1
+            for j in range(end - 1, start, -1):
+                if body[j] == split_id:
+                    cut = j
+                    break
+            if cut > start:
+                chunks.append([bos_id] + body[start:cut] + [eos_id])
+                start = cut + 1
+                continue
+        chunks.append([bos_id] + body[start:end] + [eos_id])
+        start = end
+    return [c for c in chunks if len(c) > 2]

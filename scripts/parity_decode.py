@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--texts", type=int, default=3)
     ap.add_argument("--skip-split", action="store_true",
                     help="skip the separate-kernels (non-fused) path")
+    ap.add_argument("--temp", type=float, default=0.0,
+                    help="sampling temperature; temp>0 exercises the shared "
+                         "deterministic counter-based sampler (exact top-k + "
+                         "seeded Gumbel), which must also be bit-equal across "
+                         "paths at f32 (docs/PARITY.md)")
     args = ap.parse_args()
 
     import jax
@@ -65,13 +70,14 @@ def main():
         engine = MagpieEngine(weights, config, compute_dtype=dtype, **kw)
         outs = []
         t_compile = time.perf_counter()
-        engine.synthesize_codes(token_lists[0], temperature=0.0)
+        engine.synthesize_codes(token_lists[0], temperature=args.temp)
         print(f"parity: {name} compile {time.perf_counter()-t_compile:.1f}s",
               file=sys.stderr)
         t0 = time.perf_counter()
         total = 0
         for toks in token_lists:
-            r = engine.synthesize_codes(toks, temperature=0.0)
+            r = engine.synthesize_codes(toks, temperature=args.temp,
+                                         seed=17)
             outs.append(np.asarray(r.codes))
             total += r.n_frames
         dt = time.perf_counter() - t0

@@ -65,6 +65,65 @@ def test_cli_stream_mode(model_paths, tmp_path):
     assert len(samples) > 0
 
 
+def test_cli_serve_is_online(model_paths, tmp_path):
+    """serve must admit requests WHILE decoding: request A's result arrives
+    before stdin closes, then request B (submitted after A completed) is
+    admitted into the still-running server. The round-2 implementation read
+    all of stdin to EOF before decoding a single frame — this test hangs (and
+    times out) under that behavior."""
+    import json
+    import queue
+    import threading
+
+    mpath, cpath = model_paths
+    out_dir = str(tmp_path / "serve_online")
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(Path(__file__).parent.parent)}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "magpie_tts_tpu.cli", "serve",
+         "-m", mpath, "-c", cpath, "--out-dir", out_dir, "--slots", "2",
+         "--segment-frames", "4", "--temp", "0", "--dtype", "float32", "-q"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=env)
+    lines: "queue.Queue[str]" = queue.Queue()
+    t = threading.Thread(
+        target=lambda: [lines.put(l) for l in proc.stdout], daemon=True)
+    t.start()
+
+    def read_result(timeout=600):
+        return json.loads(lines.get(timeout=timeout))
+
+    try:
+        proc.stdin.write(json.dumps({"id": "A", "text": "hello world"}) + "\n")
+        proc.stdin.flush()
+        res_a = read_result()          # arrives with stdin still OPEN
+        assert res_a["id"] == "A" and res_a["frames"] > 0
+
+        # Malformed request: an error line, not a dead server.
+        proc.stdin.write("{not json\n")
+        proc.stdin.flush()
+        err = read_result(timeout=60)
+        assert "error" in err
+
+        proc.stdin.write(json.dumps({"id": "B", "text": "world hello"}) + "\n")
+        proc.stdin.flush()
+        res_b = read_result()
+        assert res_b["id"] == "B" and res_b["frames"] > 0
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=60)
+    assert proc.returncode == 0, proc.stderr.read()
+
+
+def test_cli_missing_model_is_graceful(tmp_path):
+    """A bad model path exits 1 with a one-line error, not a traceback."""
+    proc = _run_cli(["-m", str(tmp_path / "nope.gguf"), "-t", "hi",
+                     "-o", str(tmp_path / "o.wav")])
+    assert proc.returncode == 1
+    assert "error:" in proc.stderr
+    assert "Traceback" not in proc.stderr
+
+
 def test_cli_serve_mode(model_paths, tmp_path):
     import json
 

@@ -96,6 +96,30 @@ def test_streaming_chunks_concat_equals_full_decode(engine, codec_engine):
     np.testing.assert_allclose(streamed, offline, atol=1e-5)
 
 
+def test_warmup_streaming_compiles_fused_chunk_programs(codec_engine):
+    """warmup_streaming must compile the PRODUCTION streaming programs (the
+    fused decode+vocode chunk fn + prepare), so a first real request finds
+    them cached — the round-2 gap was warmup compiling only the split
+    decode_chunk program streaming never runs."""
+    eng = MagpieEngine(WEIGHTS, CONFIG, token_buckets=TOKEN_BUCKETS)
+    params = streaming.StreamParams(temperature=0.0, frames_per_chunk=2,
+                                    codec_context_frames=4)
+    streaming.warmup_streaming(eng, codec_engine, params,
+                               token_buckets=[8, 16])
+    k, ctx = params.frames_per_chunk, params.codec_context_frames
+    for bucket in (8, 16):
+        assert (codec_engine.uid, bucket, params.top_k, k, ctx) \
+            in eng._fused_chunk_cache
+        assert bucket in eng._prepare_cache
+    # The warmed programs are the ones a real stream uses: no new cache
+    # entries appear when streaming an in-bucket sentence.
+    n_chunk, n_prep = len(eng._fused_chunk_cache), len(eng._prepare_cache)
+    tokens = [CONFIG.text_bos_id, 1, 2, 3, CONFIG.text_eos_id]
+    list(streaming.stream_sentence(eng, codec_engine, tokens, params))
+    assert len(eng._fused_chunk_cache) == n_chunk
+    assert len(eng._prepare_cache) == n_prep
+
+
 def test_split_sentences():
     assert streaming.split_sentences("One. Two! Three?") == ["One.", "Two!", "Three?"]
     assert streaming.split_sentences("No terminator") == ["No terminator"]

@@ -412,12 +412,12 @@ def test_prod_frame_step_batched_interpret(rng, prod, pos_off):
 
     s_f, a_f, h_f, kc_f, vc_f = frame_step_batched_pallas(
         hidden, pos, valid, maycont, posemb, xa_k, xa_v, k_cache, v_cache,
-        w, c, enc_lens, jnp.int32(7), jnp.float32(0.0), 80, forbid,
-        interpret=True)
+        w, c, enc_lens, jnp.full((B,), 7, jnp.int32), jnp.float32(0.0), 80,
+        forbid, interpret=True)
 
     s_r, a_r = sample_frame_codes_batched_pallas(
-        hidden, w, c, jnp.int32(7), jnp.float32(0.0), 80, forbid,
-        interpret=True)
+        hidden, w, c, jnp.full((B,), 7, jnp.int32), jnp.float32(0.0), 80,
+        forbid, interpret=True)
     np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_r))
     np.testing.assert_array_equal(np.asarray(a_f), np.asarray(a_r))
 
@@ -454,8 +454,8 @@ def test_batched_lt_sampler_greedy_parity(rng):
                 h, WEIGHTS, c, jax.random.PRNGKey(0), jnp.float32(0.0), 8, f,
                 static_mask))(hidden, forbid)
         s_p, a_p = sample_frame_codes_batched_pallas(
-            hidden, WEIGHTS, c, jnp.int32(trial), jnp.float32(0.0), 8, forbid,
-            interpret=True)
+            hidden, WEIGHTS, c, jnp.full((B,), trial, jnp.int32),
+            jnp.float32(0.0), 8, forbid, interpret=True)
         np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_p))
         np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_p))
 
@@ -470,8 +470,8 @@ def test_batched_lt_sampler_topk_range(rng):
     hidden = jnp.asarray(
         rng.normal(0, 0.5, size=(B, c.d_model)).astype(np.float32))
     s, a = sample_frame_codes_batched_pallas(
-        hidden, WEIGHTS, c, jnp.int32(1), jnp.float32(0.8), 5,
-        jnp.zeros((B,), bool), interpret=True)
+        hidden, WEIGHTS, c, jnp.arange(B, dtype=jnp.int32), jnp.float32(0.8),
+        5, jnp.zeros((B,), bool), interpret=True)
     s = np.asarray(s)
     assert s.shape == (B, c.num_codebooks)
     assert np.all(s >= 0) and np.all(s < c.vocab_per_cb)
@@ -497,8 +497,8 @@ def test_prod_batched_lt_sampler_interpret(rng, prod):
             h, w, c, jax.random.PRNGKey(0), jnp.float32(0.0), 80, f,
             static_mask))(hidden, forbid)
     s_p, a_p = sample_frame_codes_batched_pallas(
-        hidden, w, c, jnp.int32(5), jnp.float32(0.0), 80, forbid,
-        interpret=True)
+        hidden, w, c, jnp.full((B,), 5, jnp.int32), jnp.float32(0.0), 80,
+        forbid, interpret=True)
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_p))
     np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_p))
 
