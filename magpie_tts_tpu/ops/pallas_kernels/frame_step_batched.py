@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import dot_hi, gelu_kernel
 from .lt_sampler import _pad_rows_to_16
+from .lt_sampler_batched import _pos_row
 
 _SEQ = 16       # padded per-slot LT sequence rows (9 used)
 _NEG = -1e30
@@ -73,7 +74,7 @@ def _kernel(hidden_ref, posemb_ref,
             # outputs
             sampled_ref, argmax_ref, hidden_out_ref, kc_out, vc_out,
             # scratch
-            seq_ref, emb_acc, valid_sc, x_ref, attn_ref,
+            kv_ref, xcur_ref, emb_acc, valid_sc, x_ref, attn_ref,
             qkv_sc, sao_buf, ffp_buf, ffo_buf, kbufs, vbufs, sems, *,
             n_cb: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int,
@@ -146,38 +147,43 @@ def _kernel(hidden_ref, posemb_ref,
         cb = i
         in_b = lt_inb_ref[0, :].astype(jnp.float32)
 
+        # Incremental K/V: each phase LayerNorms + projects ONLY the new row
+        # (x lives in the [B, lt] ``xcur_ref`` scratch); its K/V lands in the
+        # persistent ``kv_ref`` buffer that accumulates across phases. Rows
+        # are immutable once written and LN/qkv are row-wise, so the cached
+        # K/V rows are BIT-IDENTICAL to the old full-buffer recompute — at
+        # 1/16th of the LN/qkv work per phase (VERDICT r2 item 3).
         @pl.when(cb == 0)
         def _init():
+            kv_ref[...] = jnp.zeros_like(kv_ref)
             proj = dot_hi(hidden_ref[...], lt_inw_ref[...]) + in_b   # [B, lt]
-            rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-            scat = ((rws // _SEQ ==
-                     jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
-                    & (rws % _SEQ == 0)).astype(jnp.float32)         # [R, B]
-            seq_ref[...] = dot_hi(scat, proj.astype(jnp.float32)).astype(wdt)
+            xcur_ref[...] = (proj.astype(wdt).astype(jnp.float32)
+                             + _pos_row(lt_pos_ref, 0))
 
-        x = (seq_ref[...].astype(jnp.float32)
-             + lt_pos_ref[...].astype(jnp.float32))
+        x = xcur_ref[...]                                            # [B, lt]
         h = _ln(x, lt_ns_ref[0, :], eps).astype(wdt)
-        qkv = dot_hi(h, lt_qkv_ref[...])                             # [R, 3lt]
-        k = qkv[:, lt_dim:2 * lt_dim].astype(wdt)
-        v = qkv[:, 2 * lt_dim:].astype(wdt)
+        qkv = dot_hi(h, lt_qkv_ref[...])                             # [B, 3lt]
+        q = qkv[:, :lt_dim].astype(wdt)
+        kv_new = qkv[:, lt_dim:].astype(wdt)                         # [B, 2lt]
+
+        rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        scat = ((rws // _SEQ ==
+                 jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
+                & (rws % _SEQ == cb)).astype(jnp.float32)            # [R, B]
+        upd = dot_hi(scat, kv_new.astype(jnp.float32)).astype(wdt)
+        kv_ref[...] = jnp.where(rws % _SEQ == cb, upd, kv_ref[...])
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
         slot = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
-        sel = ((rows // _SEQ == slot) & (rows % _SEQ == cb)
-               ).astype(jnp.float32)
-        q_sel = dot_hi(sel, qkv[:, :lt_dim]).astype(wdt)             # [B, lt]
-        x_sel = dot_hi(sel, x)                                       # [B, lt]
-
         scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))
-        scores = dot_hi(q_sel, k.T) * scale                          # [B, R]
+        scores = dot_hi(q, kv_ref[:, :lt_dim].T) * scale             # [B, R]
         visible = (rows // _SEQ == slot) & (rows % _SEQ <= cb)
         scores = jnp.where(visible, scores, _NEG)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         probs = jnp.exp(scores)
         probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(wdt)
-        attn = dot_hi(probs, v)
-        x1 = x_sel + dot_hi(attn.astype(wdt), lt_sao_ref[...])
+        attn = dot_hi(probs, kv_ref[:, lt_dim:])
+        x1 = x + dot_hi(attn.astype(wdt), lt_sao_ref[...])
         h2 = _ln(x1, lt_nf_ref[0, :], eps).astype(wdt)
         ff = dot_hi(h2, lt_ffp_ref[...])
         ff = gelu_kernel(ff, approximate=False).astype(wdt)
@@ -236,12 +242,8 @@ def _kernel(hidden_ref, posemb_ref,
         @pl.when(cb < n_cb - 1)
         def _feedback():
             proj = dot_hi(emb.astype(wdt), lt_inw_ref[...]) + in_b   # [B, lt]
-            rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-            scat = ((rws // _SEQ ==
-                     jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
-                    & (rws % _SEQ == cb + 1)).astype(jnp.float32)
-            ins = dot_hi(scat, proj).astype(wdt)
-            seq_ref[...] = jnp.where(rws % _SEQ == cb + 1, ins, seq_ref[...])
+            xcur_ref[...] = (proj.astype(wdt).astype(jnp.float32)
+                             + _pos_row(lt_pos_ref, cb + 1))
 
         @pl.when(cb == n_cb - 1)
         def _transition():
@@ -449,7 +451,6 @@ def frame_step_batched_pallas(
     vocab_pad = emb_tbl.shape[1]
     pos_pad = jnp.zeros((_SEQ, c.lt_dim), dtype).at[: c.lt_max_pos].set(
         lt.pos_emb.astype(dtype)[:_SEQ])
-    pos_tiled = jnp.tile(pos_pad, (B, 1))
 
     norms = jnp.stack([dec.norm_self, dec.norm_xa_q, dec.norm_ff],
                       axis=1).astype(jnp.float32)
@@ -496,7 +497,7 @@ def frame_step_batched_pallas(
             const(B, D),                        # posemb rows
             const(D, c.lt_dim),                 # lt in_proj_w
             const(1, c.lt_dim),                 # lt in_proj_b
-            const(B * _SEQ, c.lt_dim),          # lt pos emb (tiled)
+            const(_SEQ, c.lt_dim),              # lt pos emb rows
             const(1, c.lt_dim),                 # lt norm_self
             const(c.lt_dim, 3 * c.lt_dim),      # lt qkv
             const(c.lt_dim, c.lt_dim),          # lt sa_out
@@ -541,7 +542,8 @@ def frame_step_batched_pallas(
                    pl.BlockSpec(memory_space=pltpu.HBM)),
         input_output_aliases={35: 3, 36: 4},
         scratch_shapes=[
-            pltpu.VMEM((B * _SEQ, c.lt_dim), dtype),   # LT flat seq buffers
+            pltpu.VMEM((B * _SEQ, 2 * c.lt_dim), dtype),  # LT K/V rows
+            pltpu.VMEM((B, c.lt_dim), jnp.float32),    # LT current-row x
             pltpu.VMEM((B, D), jnp.float32),           # embedding accumulator
             pltpu.VMEM((S, B), jnp.int32),             # valid incl. new row
             pltpu.VMEM((B, D), jnp.float32),           # x carry
@@ -560,7 +562,7 @@ def frame_step_batched_pallas(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(hidden.astype(dtype), posemb.astype(dtype),
       lt.in_proj_w.astype(dtype), lt.in_proj_b.astype(dtype).reshape(1, -1),
-      pos_tiled, lt.norm_self.astype(dtype).reshape(1, -1),
+      pos_pad, lt.norm_self.astype(dtype).reshape(1, -1),
       lt.qkv.astype(dtype), lt.sa_out.astype(dtype),
       lt.norm_ff.astype(dtype).reshape(1, -1),
       lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),

@@ -50,6 +50,22 @@ from .lt_sampler import _pad_rows_to_16
 _SEQ = 16       # padded per-slot sequence rows (9 used)
 _NEG = -1e30
 
+# PROBE-ONLY ablation knob (scripts/opt_lt_anatomy.py): trace-time removal of
+# kernel stages to attribute per-phase cost. Production code never sets it;
+# outputs are WRONG under any non-empty value.
+_ABLATE = ""
+
+
+def _pos_row(pos_ref, row) -> jnp.ndarray:
+    """Row ``row`` of the [16, lt_dim] position table as [1, lt_dim] f32.
+
+    One-hot matmul gather (exact: 0/1 rows at HIGHEST precision) — Mosaic
+    cannot prove a dynamic sublane start like ``pos_ref[pl.ds(cb+1, 1)]`` is
+    8-aligned, but a [1, 16] x [16, lt] dot has fully static shapes."""
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, _SEQ), 1)
+           == row).astype(jnp.float32)
+    return dot_hi(sel, pos_ref[...].astype(jnp.float32))
+
 
 def _layer_norm(x, w, eps):
     xf = x.astype(jnp.float32)
@@ -59,63 +75,72 @@ def _layer_norm(x, w, eps):
     return (c / jnp.sqrt(var + eps)) * w.astype(jnp.float32)
 
 
-def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
+def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_ref,
             norm_self_ref, qkv_ref, sa_out_ref, norm_ff_ref, ff_proj_ref,
             ff_out_ref, out_w_ref, out_b_ref, proj_emb_ref, forbid_ref,
             seeds_ref, temp_ref,
-            sampled_ref, argmax_ref, seq_ref, *,
+            sampled_ref, argmax_ref, kv_ref, xcur_ref, *,
             n_batch: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int, eps: float,
             gelu_tanh: bool, n_cb: int):
     cb = pl.program_id(0)
     B = n_batch
     R = B * _SEQ
-    wdt = seq_ref.dtype
+    wdt = kv_ref.dtype
 
     in_b = in_proj_b_ref[0, :].astype(jnp.float32)
 
+    # Incremental K/V: LayerNorm + qkv run ONLY on the new row per phase
+    # ([B, lt] instead of [B*16, lt]); K/V rows persist in ``kv_ref`` across
+    # phases. Rows are immutable once written and LN/qkv are row-wise, so the
+    # cached rows are bit-identical to a full-buffer recompute.
     @pl.when(cb == 0)
     def _init():
-        # Project each slot's decoder hidden into row b*16 of the flat buffer.
+        kv_ref[...] = jnp.zeros_like(kv_ref)
         proj = dot_hi(hidden_ref[...], in_proj_w_ref[...]) + in_b   # [B, lt]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        scat = ((rows // _SEQ == jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
-                & (rows % _SEQ == 0)).astype(jnp.float32)           # [R, B]
-        seq_ref[...] = dot_hi(scat, proj.astype(jnp.float32)).astype(wdt)
+        xcur_ref[...] = (proj.astype(wdt).astype(jnp.float32)
+                         + _pos_row(pos_ref, 0))
 
-    # ---- LT layer over the flat buffer; rows beyond cb are causally inert.
-    x = seq_ref[...].astype(jnp.float32) + pos_tiled_ref[...].astype(jnp.float32)
-    h = _layer_norm(x, norm_self_ref[0, :], eps).astype(wdt)
-    qkv = dot_hi(h, qkv_ref[...])                                   # [R, 3lt] f32
-    k = qkv[:, lt_dim:2 * lt_dim].astype(wdt)
-    v = qkv[:, 2 * lt_dim:].astype(wdt)
+    x = xcur_ref[...]                                               # [B, lt]
+    if "nolayer" in _ABLATE:                                        # probe-only
+        x2 = x
+    else:
+        h = _layer_norm(x, norm_self_ref[0, :], eps).astype(wdt)
+        qkv = dot_hi(h, qkv_ref[...])                               # [B, 3lt]
+        q = qkv[:, :lt_dim].astype(wdt)
+        kv_new = qkv[:, lt_dim:].astype(wdt)                        # [B, 2lt]
 
-    # Select row b*16+cb of each slot (the only row whose output is consumed).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
-    sel = ((rows // _SEQ == slot) & (rows % _SEQ == cb)).astype(jnp.float32)
-    q_sel = dot_hi(sel, qkv[:, :lt_dim]).astype(wdt)                # [B, lt]
-    x_sel = dot_hi(sel, x)                                          # [B, lt] f32
+        rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        scat = ((rws // _SEQ ==
+                 jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
+                & (rws % _SEQ == cb)).astype(jnp.float32)           # [R, B]
+        upd = dot_hi(scat, kv_new.astype(jnp.float32)).astype(wdt)
+        kv_ref[...] = jnp.where(rws % _SEQ == cb, upd, kv_ref[...])
 
-    scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))  # single head, d_head = lt_dim
-    scores = dot_hi(q_sel, k.T) * scale                             # [B, R]
-    visible = (rows // _SEQ == slot) & (rows % _SEQ <= cb)
-    scores = jnp.where(visible, scores, _NEG)
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    probs = jnp.exp(scores)
-    probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(wdt)
-    attn = dot_hi(probs, v)                                         # [B, lt] f32
-    x1 = x_sel + dot_hi(attn.astype(wdt), sa_out_ref[...])
-    h2 = _layer_norm(x1, norm_ff_ref[0, :], eps).astype(wdt)
-    ff = dot_hi(h2, ff_proj_ref[...])
-    ff = gelu_kernel(ff, approximate=gelu_tanh).astype(wdt)
-    x2 = x1 + dot_hi(ff, ff_out_ref[...])                           # [B, lt] f32
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
+        scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))  # 1 head, d_head = lt_dim
+        scores = dot_hi(q, kv_ref[:, :lt_dim].T) * scale            # [B, R]
+        visible = (rows // _SEQ == slot) & (rows % _SEQ <= cb)
+        scores = jnp.where(visible, scores, _NEG)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = (probs / jnp.sum(probs, axis=-1, keepdims=True)).astype(wdt)
+        attn = dot_hi(probs, kv_ref[:, lt_dim:])                    # [B, lt]
+        x1 = x + dot_hi(attn.astype(wdt), sa_out_ref[...])
+        h2 = _layer_norm(x1, norm_ff_ref[0, :], eps).astype(wdt)
+        ff = dot_hi(h2, ff_proj_ref[...])
+        ff = gelu_kernel(ff, approximate=gelu_tanh).astype(wdt)
+        x2 = x1 + dot_hi(ff, ff_out_ref[...])                       # [B, lt]
 
-    logits = dot_hi(x2.astype(wdt), out_w_ref[0])                   # [B, vocab]
-    logits = logits + out_b_ref[0].astype(jnp.float32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, vocab), 1)
+    if "noproj" in _ABLATE:                                         # probe-only
+        logits = jnp.zeros((B, vocab), jnp.float32) + x2[:, :1]
+    else:
+        logits = dot_hi(x2.astype(wdt), out_w_ref[0])               # [B, vocab]
+        logits = logits + out_b_ref[0].astype(jnp.float32)
 
     # ---- forbidden-token masking (magpie.cpp:1131-1248)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (B, vocab), 1)
     forbidden = (ids == audio_bos_id) | \
                 ((ids >= audio_bos_id + 2) & (ids <= audio_bos_id + 7))
     forbid_eos = forbid_ref[...] > 0                                # [B, 1]
@@ -127,21 +152,25 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
     amax = jnp.min(jnp.where(logits == row_max, ids, vocab),
                    axis=-1).astype(jnp.int32)                       # [B]
 
-    # ---- EXACT top-k membership + per-slot counter-based Gumbel noise
-    # (shared implementation, ops/sampling.py — backend-identical).
-    from ...ops import sampling as _sampling
+    if "nosample" in _ABLATE:                                       # probe-only
+        code = amax
+    else:
+        # ---- EXACT top-k membership + per-slot counter-based Gumbel noise
+        # (shared implementation, ops/sampling.py — backend-identical).
+        from ...ops import sampling as _sampling
 
-    temp = temp_ref[0]
-    in_topk = _sampling.exact_topk_mask(logits, top_k)
-    base = _sampling.phase_seed(seeds_ref[...], cb)                 # [B, 1]
-    gumbel = _sampling.gumbel_from_seed(base, ids)
-    safe_temp = jnp.maximum(temp, 0.01)
-    z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
-    z_max = jnp.max(z, axis=-1, keepdims=True)
-    drawn = jnp.min(jnp.where(z == z_max, ids, vocab), axis=-1).astype(jnp.int32)
+        temp = temp_ref[0]
+        in_topk = _sampling.exact_topk_mask(logits, top_k)
+        base = _sampling.phase_seed(seeds_ref[...], cb)             # [B, 1]
+        gumbel = _sampling.gumbel_from_seed(base, ids)
+        safe_temp = jnp.maximum(temp, 0.01)
+        z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
+        z_max = jnp.max(z, axis=-1, keepdims=True)
+        drawn = jnp.min(jnp.where(z == z_max, ids, vocab),
+                        axis=-1).astype(jnp.int32)
 
-    greedy = temp < 0.01
-    code = jnp.where(greedy, amax, drawn)                           # [B]
+        greedy = temp < 0.01
+        code = jnp.where(greedy, amax, drawn)                       # [B]
 
     # Masked full-array writes: a (1, B) block would violate Mosaic's 8-sublane
     # rule, so the whole [n_cb, B] output revolves in VMEM across grid steps.
@@ -149,10 +178,14 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
     sampled_ref[...] = jnp.where(out_row == cb, code[None, :], sampled_ref[...])
     argmax_ref[...] = jnp.where(out_row == cb, amax[None, :], argmax_ref[...])
 
-    # ---- feedback: one-hot gather from the pre-projected table, scatter into
-    # row b*16+cb+1 of each slot.
+    # ---- feedback: one-hot gather from the pre-projected table into the
+    # next phase's current-row x.
     @pl.when(cb < n_cb - 1)
     def _feedback():
+        if "nofeedback" in _ABLATE:                                 # probe-only
+            xcur_ref[...] = (xcur_ref[...]
+                             + code[:, None].astype(jnp.float32) * 1e-9)
+            return
         cols = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
         tdt = proj_emb_ref.dtype
         tprec = jax.lax.Precision.HIGHEST if tdt == jnp.float32 else None
@@ -160,11 +193,8 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_tiled_ref,
         emb = jnp.dot(onehot, proj_emb_ref[0],
                       preferred_element_type=jnp.float32,
                       precision=tprec)                              # [B, lt]
-        rws = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        scat = ((rws // _SEQ == jax.lax.broadcasted_iota(jnp.int32, (R, B), 1))
-                & (rws % _SEQ == cb + 1)).astype(jnp.float32)       # [R, B]
-        ins = dot_hi(scat, emb).astype(wdt)
-        seq_ref[...] = jnp.where(rws % _SEQ == cb + 1, ins, seq_ref[...])
+        xcur_ref[...] = (emb.astype(wdt).astype(jnp.float32)
+                         + _pos_row(pos_ref, cb + 1))
 
 
 def batched_shapes_ok(n_batch: int) -> bool:
@@ -206,7 +236,6 @@ def sample_frame_codes_batched_pallas(
 
     pos_pad = jnp.zeros((_SEQ, c.lt_dim), dtype).at[: c.lt_max_pos].set(
         lt.pos_emb.astype(dtype)[:_SEQ])
-    pos_tiled = jnp.tile(pos_pad, (B, 1))
 
     temp_arr = temperature.astype(jnp.float32).reshape(1)
     seeds_col = seeds.astype(jnp.int32).reshape(B, 1)
@@ -229,7 +258,7 @@ def sample_frame_codes_batched_pallas(
             vm(B, c.d_model),                 # hidden
             vm(c.d_model, c.lt_dim),          # in_proj_w
             vm(1, c.lt_dim),                  # in_proj_b
-            vm(B * _SEQ, c.lt_dim),           # pos_emb tiled per slot
+            vm(_SEQ, c.lt_dim),               # pos_emb rows
             vm(1, c.lt_dim),                  # norm_self
             vm(c.lt_dim, 3 * c.lt_dim),       # qkv
             vm(c.lt_dim, c.lt_dim),           # sa_out
@@ -246,11 +275,12 @@ def sample_frame_codes_batched_pallas(
         out_specs=(pl.BlockSpec((n_cb, B), lambda cb: (0, 0)),
                    pl.BlockSpec((n_cb, B), lambda cb: (0, 0))),
         scratch_shapes=[
-            pltpu.VMEM((B * _SEQ, c.lt_dim), dtype),   # flat seq buffers
+            pltpu.VMEM((B * _SEQ, 2 * c.lt_dim), dtype),  # persistent K/V rows
+            pltpu.VMEM((B, c.lt_dim), jnp.float32),       # current-row x
         ],
         interpret=interpret,
     )(hidden, lt.in_proj_w.astype(dtype),
-      lt.in_proj_b.astype(dtype).reshape(1, -1), pos_tiled,
+      lt.in_proj_b.astype(dtype).reshape(1, -1), pos_pad,
       lt.norm_self.astype(dtype).reshape(1, -1), lt.qkv.astype(dtype),
       lt.sa_out.astype(dtype), lt.norm_ff.astype(dtype).reshape(1, -1),
       lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),

@@ -14,6 +14,7 @@ with fully traced ops so the whole autoregressive loop stays on device:
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -88,7 +89,8 @@ def exact_topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     keys = jnp.where(bits >= 0, bits, jnp.int32(-2147483648) - bits)
     lo = jnp.min(keys, axis=-1, keepdims=True)        # count(>= lo) == n >= k
     hi = jnp.max(keys, axis=-1, keepdims=True) + 1    # count(>= hi) == 0 < k
-    for _ in range(32):
+    iters = int(os.environ.get("MAGPIE_TOPK_ITERS", "32"))  # probe knob only
+    for _ in range(iters):
         # Overflow-safe midpoint (lo/hi may straddle the int32 range).
         mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
         cnt = jnp.sum((keys >= mid).astype(jnp.int32), axis=-1, keepdims=True)

@@ -92,8 +92,9 @@ def main():
     @jax.jit
     def run_lt(init):
         def body(i, h):
+            seeds = jnp.full((B,), i, jnp.int32) + jnp.arange(B, dtype=jnp.int32)
             s, a = sample_frame_codes_batched_pallas(
-                h, w, c, i.astype(jnp.int32), temp, 80, forbid)
+                h, w, c, seeds, temp, 80, forbid)
             return h + (s.astype(DTYPE) @ jnp.zeros((8, D), DTYPE)) * 0
         return jax.lax.fori_loop(0, ITERS, body, init)
 
@@ -104,9 +105,10 @@ def main():
     def run_fused(init):
         def body(i, carry):
             h, kc, vc = carry
+            seeds = jnp.full((B,), i, jnp.int32) + jnp.arange(B, dtype=jnp.int32)
             s, a, h2, kc, vc = frame_step_batched_pallas(
                 h, pos, valid, maycont, posemb, xa_k, xa_v, kc, vc, w, c,
-                enc_lens, i.astype(jnp.int32), temp, 80, forbid)
+                enc_lens, seeds, temp, 80, forbid)
             return (h2.astype(DTYPE), kc, vc)
         return jax.lax.fori_loop(0, ITERS, body, init)
 
@@ -118,8 +120,9 @@ def main():
     def run_split(init):
         def body(i, carry):
             h, kc, vc = carry
+            seeds = jnp.full((B,), i, jnp.int32) + jnp.arange(B, dtype=jnp.int32)
             s, a = sample_frame_codes_batched_pallas(
-                h, w, c, i.astype(jnp.int32), temp, 80, forbid)
+                h, w, c, seeds, temp, 80, forbid)
             emb = magpie_mod.audio_frame_embedding(s, w, c).astype(DTYPE)
             x_pe = emb + w.decoder.pos_emb[pos][None, :].astype(DTYPE)
             h2, kc, vc = decode_step_batched_pallas(

@@ -10,8 +10,13 @@ from magpie_tts_tpu.io import gguf
 from tests.utils import tiny_codec_config, tiny_magpie_config
 
 
-def write_tiny_magpie_gguf(path: str, seed: int = 0, quant=None) -> None:
-    c = tiny_magpie_config()
+def write_tiny_magpie_gguf(path: str, seed: int = 0, quant=None,
+                           config=None) -> None:
+    """Synthesize a structurally complete magpie GGUF (full tensor-name map,
+    tokenizer payload, both hparam spellings). ``config=None`` writes the tiny
+    test config; pass ``MagpieConfig()`` for a full-size (357M-class) file —
+    same code path, production shapes."""
+    c = config if config is not None else tiny_magpie_config()
     rng = np.random.default_rng(seed)
 
     def w(*shape, scale=0.02):

@@ -292,3 +292,54 @@ def test_verify_golden_cli(tmp_path, rng):
     assert run_cli(a, c) == 1                              # missing file
     assert run_cli(a, c, "--tol", "encoder=1.0") == 1      # still missing
     assert run_cli(a, b, "--tol", "encoder=1e-9") == 1     # tightened tol
+
+
+def test_inspect_torch_model_call_tree():
+    """inspect_torch_model on a plain torch module: the call tree lists every
+    called module in first-call order with shapes, counts repeats, and flags
+    never-called modules (architecture-discovery analog of the reference's
+    inspect_inference.py / inspect_codec.py)."""
+    import io
+
+    import torch
+
+    from tools.inspect_torch_model import inspect_model
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = torch.nn.Linear(4, 4)
+
+        def forward(self, x):
+            return {"output": torch.relu(self.lin(x))}
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = torch.nn.Linear(4, 4)
+            self.shared = Block()
+            self.dead = torch.nn.Linear(4, 4)   # never called
+
+        def forward(self, x):
+            h = self.emb(x)
+            for _ in range(3):                  # autoregressive-style reuse
+                h = self.shared(h)["output"]
+            return h
+
+    torch.manual_seed(0)
+    model = Model().eval()
+    buf = io.StringIO()
+    insp = inspect_model(model, lambda m: m(torch.randn(2, 4)), stream=buf)
+    text = buf.getvalue()
+
+    # First-call order: root, emb, shared, shared.lin.
+    assert insp.order == ["(root)", "emb", "shared", "shared.lin"]
+    rec = insp.records["shared"]
+    assert rec.n_calls == 3 and rec.cls == "Block"
+    assert "x3" in text                         # repeat count rendered
+    assert "float32[2, 4]" in text              # tensor signatures
+    assert "{output=float32[2, 4]}" in text     # dict output signature
+    assert insp.records["emb"].params == [("weight", [4, 4]), ("bias", [4])]
+    # Dead module flagged, with its class.
+    assert dict(insp.uncalled()) == {"dead": "Linear"}
+    assert "dead [Linear]" in text
