@@ -49,6 +49,14 @@ from .lt_sampler_batched import _pos_row
 _SEQ = 16       # padded per-slot LT sequence rows (9 used)
 _NEG = -1e30
 
+# PROBE-ONLY ablation knob (scripts/opt_slope_probe.py anatomy mode):
+# trace-time removal of kernel stages to attribute per-step cost. Production
+# never sets it; outputs are WRONG under any non-empty value. Recognized:
+# "nolt" (skip LT phase bodies), "noattend" (skip per-slot attention loop),
+# "nocache" (skip K/V cache group DMAs), "noweights" (skip qkv/sao/ffp/ffo
+# HBM streams + their matmuls), "noxa" (skip cross-attention).
+_ABLATE = ""
+
 
 def _ln(x, w, eps):
     xf = x.astype(jnp.float32)
@@ -135,16 +143,29 @@ def _kernel(hidden_ref, posemb_ref,
     @pl.when(i == 0)
     def _prologue():
         emb_acc[...] = jnp.zeros_like(emb_acc)
-        dma(qkv_hbm.at[0], qkv_sc, 0).start()
-        dma(sao_hbm.at[0], sao_buf, 3).start()
-        dma(ffp_hbm.at[0], ffp_buf, 6).start()
-        dma(ffo_hbm.at[0], ffo_buf, 7).start()
-        cache_start(0, 0, 8, 0)
+        if "noweights" not in _ABLATE:                              # probe-only
+            dma(qkv_hbm.at[0], qkv_sc, 0).start()
+            dma(sao_hbm.at[0], sao_buf, 3).start()
+            dma(ffp_hbm.at[0], ffp_buf, 6).start()
+            dma(ffo_hbm.at[0], ffo_buf, 7).start()
+        if "nocache" not in _ABLATE:                                # probe-only
+            cache_start(0, 0, 8, 0)
 
     # ======================= LT phases (i in [0, n_cb)) =====================
     @pl.when(i < n_cb)
     def _lt_phase():
         cb = i
+        if "nolt" in _ABLATE:                                       # probe-only
+            @pl.when(cb == n_cb - 1)
+            def _transition_ablated():
+                newcol = maycont_ref[...]
+                srows = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
+                valid_sc[...] = jnp.where(srows == pos, newcol, valid_ref[...])
+                x_ref[...] = posemb_ref[...].astype(jnp.float32)
+                out_row = jax.lax.broadcasted_iota(jnp.int32, (n_cb, B), 0)
+                sampled_ref[...] = out_row
+                argmax_ref[...] = out_row
+            return
         in_b = lt_inb_ref[0, :].astype(jnp.float32)
 
         # Incremental K/V: each phase LayerNorms + projects ONLY the new row
@@ -272,13 +293,16 @@ def _kernel(hidden_ref, posemb_ref,
         x = x_ref[...]  # [B, D] f32
 
         h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
-        dma(qkv_hbm.at[l], qkv_sc, 0).wait()
-        qkv = dot_hi(h, qkv_sc[...].astype(wdt))                    # [B, 3D]
-        qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
+        if "noweights" in _ABLATE:                                  # probe-only
+            qkv = jnp.zeros((n_batch, 3 * d_model), wdt) + h[:, :1]
+        else:
+            dma(qkv_hbm.at[l], qkv_sc, 0).wait()
+            qkv = dot_hi(h, qkv_sc[...].astype(wdt))                # [B, 3D]
+            qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
 
-        @pl.when(l < n_layers - 1)
-        def _prefetch_qkv():
-            dma(qkv_hbm.at[l + 1], qkv_sc, 0).start()
+            @pl.when(l < n_layers - 1)
+            def _prefetch_qkv():
+                dma(qkv_hbm.at[l + 1], qkv_sc, 0).start()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
         head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
@@ -290,23 +314,35 @@ def _kernel(hidden_ref, posemb_ref,
         for g in range(n_groups):
             buf = g % 2
             lo = g * gb
-            if g + 1 < n_groups:
-                cache_start(g + 1, (g + 1) % 2, 8 + 2 * ((g + 1) % 2), l)
-            cache_wait(g, buf, 8 + 2 * buf, l)
+            if "nocache" not in _ABLATE:                            # probe-only
+                if g + 1 < n_groups:
+                    cache_start(g + 1, (g + 1) % 2, 8 + 2 * ((g + 1) % 2), l)
+                cache_wait(g, buf, 8 + 2 * buf, l)
 
-            k_new = qkv[lo:lo + gb, d_model:2 * d_model].astype(kbufs.dtype)
-            v_new = qkv[lo:lo + gb, 2 * d_model:].astype(vbufs.dtype)
-            kbufs[buf, :, pl.ds(base, 16), :] = jnp.where(
-                wrows + base == pos, k_new[:, None, :],
-                kbufs[buf, :, pl.ds(base, 16), :])
-            vbufs[buf, :, pl.ds(base, 16), :] = jnp.where(
-                wrows + base == pos, v_new[:, None, :],
-                vbufs[buf, :, pl.ds(base, 16), :])
-            dma(kbufs.at[buf, :, pl.ds(base, 16)],
-                kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).start()
-            dma(vbufs.at[buf, :, pl.ds(base, 16)],
-                vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).start()
+                k_new = qkv[lo:lo + gb, d_model:2 * d_model].astype(kbufs.dtype)
+                v_new = qkv[lo:lo + gb, 2 * d_model:].astype(vbufs.dtype)
+                kbufs[buf, :, pl.ds(base, 16), :] = jnp.where(
+                    wrows + base == pos, k_new[:, None, :],
+                    kbufs[buf, :, pl.ds(base, 16), :])
+                vbufs[buf, :, pl.ds(base, 16), :] = jnp.where(
+                    wrows + base == pos, v_new[:, None, :],
+                    vbufs[buf, :, pl.ds(base, 16), :])
+                dma(kbufs.at[buf, :, pl.ds(base, 16)],
+                    kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).start()
+                dma(vbufs.at[buf, :, pl.ds(base, 16)],
+                    vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).start()
 
+            if "noattend" in _ABLATE:                               # probe-only
+                attn_ref[lo:lo + gb, :] = qkv[lo:lo + gb,
+                                              :d_model].astype(jnp.float32)
+                if "nocache" not in _ABLATE:
+                    dma(kbufs.at[buf, :, pl.ds(base, 16)],
+                        kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)],
+                        12).wait()
+                    dma(vbufs.at[buf, :, pl.ds(base, 16)],
+                        vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)],
+                        13).wait()
+                continue
             # Bit-exact algebraic forms of the per-slot score/context ops —
             # see decoder_step_batched.py: K@(q(.)seg), ones_H@((pT V)(.)segT),
             # native-dtype operands (single-pass bf16 dots, exact products).
@@ -341,56 +377,66 @@ def _kernel(hidden_ref, posemb_ref,
                         attn_ref[lo + b: lo + b + 1, :] = dot_hi(
                             ones_h, pv * seg.T)
 
-            dma(kbufs.at[buf, :, pl.ds(base, 16)],
-                kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()
-            dma(vbufs.at[buf, :, pl.ds(base, 16)],
-                vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).wait()
+            if "nocache" not in _ABLATE:                            # probe-only
+                dma(kbufs.at[buf, :, pl.ds(base, 16)],
+                    kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()
+                dma(vbufs.at[buf, :, pl.ds(base, 16)],
+                    vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).wait()
 
-        dma(sao_hbm.at[l], sao_buf, 3).wait()
-        x = x + (dot_hi(attn_ref[...].astype(wdt), sao_buf[...].astype(wdt))
-                 * sao_s_ref[0].astype(jnp.float32))
+        if "noweights" not in _ABLATE:                              # probe-only
+            dma(sao_hbm.at[l], sao_buf, 3).wait()
+            x = x + (dot_hi(attn_ref[...].astype(wdt),
+                            sao_buf[...].astype(wdt))
+                     * sao_s_ref[0].astype(jnp.float32))
 
-        @pl.when(l < n_layers - 1)
-        def _prefetch_sao():
-            dma(sao_hbm.at[l + 1], sao_buf, 3).start()
+            @pl.when(l < n_layers - 1)
+            def _prefetch_sao():
+                dma(sao_hbm.at[l + 1], sao_buf, 3).start()
+        else:
+            x = x + attn_ref[...] * 1e-9
 
-        @pl.when(l < n_layers - 1)
-        def _prefetch_cache0():
-            cache_start(0, 0, 8, l + 1)
+        if "nocache" not in _ABLATE:                                # probe-only
+            @pl.when(l < n_layers - 1)
+            def _prefetch_cache0():
+                cache_start(0, 0, 8, l + 1)
 
-        # ---- cross-attention (1 head, per-slot K/V) ----
-        hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
-        q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt).astype(jnp.float32)
-        zx = (xa_k_ref[:, 0].astype(jnp.float32) * q2[:, None, :])
-        sx = jnp.sum(zx, axis=2) * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
-        erow = jax.lax.broadcasted_iota(jnp.int32, (1, enc_pad), 1)
-        sx = jnp.where(erow < enc_len_ref[...], sx, _NEG)
-        mx = jnp.max(sx, axis=1, keepdims=True)
-        px = jnp.exp(sx - mx)
-        px = px / jnp.sum(px, axis=1, keepdims=True)
-        px_w = px.astype(wdt).astype(jnp.float32)
-        wv = px_w[:, :, None] * xa_v_ref[:, 0].astype(jnp.float32)
-        xa = jnp.sum(wv, axis=1).astype(wdt)
-        x = x + dot_hi(xa, xa_out_ref[0])
+        if "noxa" not in _ABLATE:                                   # probe-only
+            # ---- cross-attention (1 head, per-slot K/V) ----
+            hq = _ln(x, norms_ref[0, 1], eps).astype(wdt)
+            q2 = dot_hi(hq, xa_q_ref[0]).astype(wdt).astype(jnp.float32)
+            zx = (xa_k_ref[:, 0].astype(jnp.float32) * q2[:, None, :])
+            sx = jnp.sum(zx, axis=2) * (1.0 / jnp.sqrt(jnp.float32(d_xa)))
+            erow = jax.lax.broadcasted_iota(jnp.int32, (1, enc_pad), 1)
+            sx = jnp.where(erow < enc_len_ref[...], sx, _NEG)
+            mx = jnp.max(sx, axis=1, keepdims=True)
+            px = jnp.exp(sx - mx)
+            px = px / jnp.sum(px, axis=1, keepdims=True)
+            px_w = px.astype(wdt).astype(jnp.float32)
+            wv = px_w[:, :, None] * xa_v_ref[:, 0].astype(jnp.float32)
+            xa = jnp.sum(wv, axis=1).astype(wdt)
+            x = x + dot_hi(xa, xa_out_ref[0])
 
         # ---- FFN ----
         hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
-        dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-        f = (dot_hi(hf, ffp_buf[...].astype(wdt))
-             * ffp_s_ref[0].astype(jnp.float32))
+        if "noweights" not in _ABLATE:                              # probe-only
+            dma(ffp_hbm.at[l], ffp_buf, 6).wait()
+            f = (dot_hi(hf, ffp_buf[...].astype(wdt))
+                 * ffp_s_ref[0].astype(jnp.float32))
 
-        @pl.when(l < n_layers - 1)
-        def _prefetch_ffp():
-            dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
+            @pl.when(l < n_layers - 1)
+            def _prefetch_ffp():
+                dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
 
-        f = gelu_kernel(f, approximate=False).astype(wdt)
-        dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-        x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
-                 * ffo_s_ref[0].astype(jnp.float32))
+            f = gelu_kernel(f, approximate=False).astype(wdt)
+            dma(ffo_hbm.at[l], ffo_buf, 7).wait()
+            x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
+                     * ffo_s_ref[0].astype(jnp.float32))
 
-        @pl.when(l < n_layers - 1)
-        def _prefetch_ffo():
-            dma(ffo_hbm.at[l + 1], ffo_buf, 7).start()
+            @pl.when(l < n_layers - 1)
+            def _prefetch_ffo():
+                dma(ffo_hbm.at[l + 1], ffo_buf, 7).start()
+        else:
+            x = x + hf.astype(jnp.float32) * 1e-9
 
         x_ref[...] = x
 

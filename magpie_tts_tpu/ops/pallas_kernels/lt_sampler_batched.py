@@ -7,8 +7,14 @@ that never fill the MXU. This kernel runs the whole 8-codebook loop for the
 full batch in one pallas_call:
 
 - grid = (8,) over codebooks; the per-codebook output head [lt_dim, vocab] and
-  a PRE-PROJECTED audio-embedding table [vocab, lt_dim] stream through VMEM via
-  their BlockSpecs (auto double-buffered) — no manual DMA anywhere;
+  a PRE-PROJECTED audio-embedding table [vocab, lt_dim] live in HBM and stream
+  through a manual 2-deep VMEM ring, each phase's copy issued a phase ahead,
+  so every phase's weights are already resident when its compute starts and
+  the kernel does not depend on the block pipeline's scheduling. (Slope-probe
+  measurement — scripts/opt_slope_probe.py, the only trustworthy timing
+  method on the tunneled device — puts this kernel at ~76us/call at B=32;
+  the manual ring and the auto-pipelined BlockSpec form measure the same, so
+  the ring is kept for its explicit prefetch depth, not a measured win.)
 - every slot's growing 16-row sequence buffer lives flattened in one
   [B*16, lt_dim] VMEM scratch, so the shared-weight matmuls (QKV, FFN, output
   head) are single large MXU contractions instead of B tiny ones;
@@ -77,16 +83,27 @@ def _layer_norm(x, w, eps):
 
 def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_ref,
             norm_self_ref, qkv_ref, sa_out_ref, norm_ff_ref, ff_proj_ref,
-            ff_out_ref, out_w_ref, out_b_ref, proj_emb_ref, forbid_ref,
-            seeds_ref, temp_ref,
-            sampled_ref, argmax_ref, kv_ref, xcur_ref, *,
-            n_batch: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
+            ff_out_ref, out_b_ref, forbid_ref,
+            seeds_ref, temp_ref, out_w_hbm, pe_hbm,
+            sampled_ref, argmax_ref, kv_ref, xcur_ref,
+            ow_ring, pe_ring, ring_sems, *,
+            n_batch: int, lt_dim: int, vocab: int, vocab_pad: int,
+            vocab_lane: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int, eps: float,
             gelu_tanh: bool, n_cb: int):
     cb = pl.program_id(0)
     B = n_batch
     R = B * _SEQ
     wdt = kv_ref.dtype
+    slot = cb % 2
+
+    def ow_dma(i, s):
+        return pltpu.make_async_copy(out_w_hbm.at[i], ow_ring.at[s],
+                                     ring_sems.at[0, s])
+
+    def pe_dma(i, s):
+        return pltpu.make_async_copy(pe_hbm.at[i], pe_ring.at[s],
+                                     ring_sems.at[1, s])
 
     in_b = in_proj_b_ref[0, :].astype(jnp.float32)
 
@@ -96,6 +113,12 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_ref,
     # cached rows are bit-identical to a full-buffer recompute.
     @pl.when(cb == 0)
     def _init():
+        if "noproj" not in _ABLATE:                                 # probe-only
+            ow_dma(0, 0).start()
+            ow_dma(1, 1).start()
+        if "nofeedback" not in _ABLATE:
+            pe_dma(0, 0).start()
+            pe_dma(1, 1).start()
         kv_ref[...] = jnp.zeros_like(kv_ref)
         proj = dot_hi(hidden_ref[...], in_proj_w_ref[...]) + in_b   # [B, lt]
         xcur_ref[...] = (proj.astype(wdt).astype(jnp.float32)
@@ -118,10 +141,10 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_ref,
         kv_ref[...] = jnp.where(rws % _SEQ == cb, upd, kv_ref[...])
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
+        own = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
         scale = 1.0 / jnp.sqrt(jnp.float32(lt_dim))  # 1 head, d_head = lt_dim
         scores = dot_hi(q, kv_ref[:, :lt_dim].T) * scale            # [B, R]
-        visible = (rows // _SEQ == slot) & (rows % _SEQ <= cb)
+        visible = (rows // _SEQ == own) & (rows % _SEQ <= cb)
         scores = jnp.where(visible, scores, _NEG)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         probs = jnp.exp(scores)
@@ -133,23 +156,32 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_ref,
         ff = gelu_kernel(ff, approximate=gelu_tanh).astype(wdt)
         x2 = x1 + dot_hi(ff, ff_out_ref[...])                       # [B, lt]
 
-    ids = jax.lax.broadcasted_iota(jnp.int32, (B, vocab), 1)
+    # Logits live at lane-padded width (out_proj_w columns padded to a 128
+    # multiple so the HBM ring DMA slices are lane-aligned); pad columns are
+    # forced to _NEG below so argmax/top-k/sampling never see them.
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_lane), 1)
     if "noproj" in _ABLATE:                                         # probe-only
-        logits = jnp.zeros((B, vocab), jnp.float32) + x2[:, :1]
+        logits = jnp.zeros((B, vocab_lane), jnp.float32) + x2[:, :1]
     else:
-        logits = dot_hi(x2.astype(wdt), out_w_ref[0])               # [B, vocab]
-        logits = logits + out_b_ref[0].astype(jnp.float32)
+        ow_dma(cb, slot).wait()
+        logits = dot_hi(x2.astype(wdt), ow_ring[slot])           # [B, vlane]
+        # out_b row via one-hot matmul (0/1 x f32 at HIGHEST — exact; dynamic
+        # sublane starts are not provably aligned for Mosaic).
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (1, n_cb), 1)
+               == cb).astype(jnp.float32)
+        logits = logits + dot_hi(sel, out_b_ref[...].astype(jnp.float32))
 
-    # ---- forbidden-token masking (magpie.cpp:1131-1248)
+    # ---- forbidden-token masking (magpie.cpp:1131-1248) + lane padding
     forbidden = (ids == audio_bos_id) | \
-                ((ids >= audio_bos_id + 2) & (ids <= audio_bos_id + 7))
+                ((ids >= audio_bos_id + 2) & (ids <= audio_bos_id + 7)) | \
+                (ids >= vocab)
     forbid_eos = forbid_ref[...] > 0                                # [B, 1]
     forbidden = forbidden | (forbid_eos & (ids == audio_eos_id))
     logits = jnp.where(forbidden, _NEG, logits)
 
     # Per-row argmax with first-max tie-breaking (== jnp.argmax).
     row_max = jnp.max(logits, axis=-1, keepdims=True)
-    amax = jnp.min(jnp.where(logits == row_max, ids, vocab),
+    amax = jnp.min(jnp.where(logits == row_max, ids, vocab_lane),
                    axis=-1).astype(jnp.int32)                       # [B]
 
     if "nosample" in _ABLATE:                                       # probe-only
@@ -166,7 +198,7 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_ref,
         safe_temp = jnp.maximum(temp, 0.01)
         z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
         z_max = jnp.max(z, axis=-1, keepdims=True)
-        drawn = jnp.min(jnp.where(z == z_max, ids, vocab),
+        drawn = jnp.min(jnp.where(z == z_max, ids, vocab_lane),
                         axis=-1).astype(jnp.int32)
 
         greedy = temp < 0.01
@@ -186,15 +218,30 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_ref,
             xcur_ref[...] = (xcur_ref[...]
                              + code[:, None].astype(jnp.float32) * 1e-9)
             return
+        pe_dma(cb, slot).wait()
+        pe = pe_ring[slot]
         cols = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_pad), 1)
-        tdt = proj_emb_ref.dtype
+        tdt = pe.dtype
         tprec = jax.lax.Precision.HIGHEST if tdt == jnp.float32 else None
         onehot = (cols == code[:, None]).astype(tdt)
-        emb = jnp.dot(onehot, proj_emb_ref[0],
+        emb = jnp.dot(onehot, pe,
                       preferred_element_type=jnp.float32,
                       precision=tprec)                              # [B, lt]
         xcur_ref[...] = (emb.astype(wdt).astype(jnp.float32)
                          + _pos_row(pos_ref, cb + 1))
+
+    # ---- ring prefetch: phase cb just released slot cb%2; start phase cb+2's
+    # copies into it. Every started copy must be awaited: ow(i) is waited by
+    # phase i for i <= n_cb-1; pe(i) only for i <= n_cb-2 (the last phase has
+    # no feedback), so pe prefetch stops one phase earlier.
+    if "noproj" not in _ABLATE:                                     # probe-only
+        @pl.when(cb + 2 < n_cb)
+        def _prefetch_ow():
+            ow_dma(cb + 2, slot).start()
+    if "nofeedback" not in _ABLATE:
+        @pl.when(cb + 3 < n_cb)
+        def _prefetch_pe():
+            pe_dma(cb + 2, slot).start()
 
 
 def batched_shapes_ok(n_batch: int) -> bool:
@@ -234,6 +281,14 @@ def sample_frame_codes_batched_pallas(
     proj_emb = _pad_rows_to_16(proj_emb)
     vocab_pad = proj_emb.shape[1]
 
+    # Lane-pad the output head so the HBM ring DMA slices [1, lt, vlane] are
+    # 128-aligned in their minor dim (Mosaic rejects unaligned HBM slices).
+    vocab_lane = -(-c.vocab_per_cb // 128) * 128
+    ow_pad = jnp.zeros((n_cb, c.lt_dim, vocab_lane), dtype)
+    ow_pad = ow_pad.at[:, :, : c.vocab_per_cb].set(lt.out_proj_w.astype(dtype))
+    ob_pad = jnp.full((n_cb, vocab_lane), _NEG, jnp.float32).at[
+        :, : c.vocab_per_cb].set(lt.out_proj_b.astype(jnp.float32))
+
     pos_pad = jnp.zeros((_SEQ, c.lt_dim), dtype).at[: c.lt_max_pos].set(
         lt.pos_emb.astype(dtype)[:_SEQ])
 
@@ -242,7 +297,8 @@ def sample_frame_codes_batched_pallas(
 
     kernel = functools.partial(
         _kernel, n_batch=B, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
-        vocab_pad=vocab_pad, top_k=top_k, audio_bos_id=c.audio_bos_id,
+        vocab_pad=vocab_pad, vocab_lane=vocab_lane, top_k=top_k,
+        audio_bos_id=c.audio_bos_id,
         audio_eos_id=c.audio_eos_id, eps=c.eps, gelu_tanh=gelu_tanh,
         n_cb=n_cb)
 
@@ -265,18 +321,21 @@ def sample_frame_codes_batched_pallas(
             vm(1, c.lt_dim),                  # norm_ff
             vm(c.lt_dim, c.lt_ffn_dim),       # ff_proj
             vm(c.lt_ffn_dim, c.lt_dim),       # ff_out
-            pl.BlockSpec((1, c.lt_dim, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
-            pl.BlockSpec((1, 1, c.vocab_per_cb), lambda cb: (cb, 0, 0)),
-            pl.BlockSpec((1, vocab_pad, c.lt_dim), lambda cb: (cb, 0, 0)),
+            vm(n_cb, vocab_lane),             # out_proj biases (const stack)
             vm(B, 1),                         # forbid_eos per slot
             vm(B, 1),                         # per-slot seeds
             pl.BlockSpec(memory_space=pltpu.SMEM),     # temperature
+            pl.BlockSpec(memory_space=pltpu.HBM),      # out_proj weights
+            pl.BlockSpec(memory_space=pltpu.HBM),      # pre-projected emb
         ],
         out_specs=(pl.BlockSpec((n_cb, B), lambda cb: (0, 0)),
                    pl.BlockSpec((n_cb, B), lambda cb: (0, 0))),
         scratch_shapes=[
             pltpu.VMEM((B * _SEQ, 2 * c.lt_dim), dtype),  # persistent K/V rows
             pltpu.VMEM((B, c.lt_dim), jnp.float32),       # current-row x
+            pltpu.VMEM((2, c.lt_dim, vocab_lane), dtype),       # out_w ring
+            pltpu.VMEM((2, vocab_pad, c.lt_dim), dtype),        # proj_emb ring
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(hidden, lt.in_proj_w.astype(dtype),
@@ -284,9 +343,9 @@ def sample_frame_codes_batched_pallas(
       lt.norm_self.astype(dtype).reshape(1, -1), lt.qkv.astype(dtype),
       lt.sa_out.astype(dtype), lt.norm_ff.astype(dtype).reshape(1, -1),
       lt.ff_proj.astype(dtype), lt.ff_out.astype(dtype),
-      lt.out_proj_w.astype(dtype),
-      lt.out_proj_b.astype(jnp.float32).reshape(n_cb, 1, -1),
-      proj_emb, forbid_eos.astype(jnp.int32).reshape(B, 1),
-      seeds_col, temp_arr)
+      ob_pad,
+      forbid_eos.astype(jnp.int32).reshape(B, 1),
+      seeds_col, temp_arr,
+      ow_pad, proj_emb)
 
     return sampled.T, argmax.T
