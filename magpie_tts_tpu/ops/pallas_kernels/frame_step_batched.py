@@ -87,7 +87,8 @@ def _kernel(hidden_ref, posemb_ref,
             n_cb: int, lt_dim: int, vocab: int, vocab_pad: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int,
             n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
-            d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int):
+            d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int,
+            cache_chunk: int):
     i = pl.program_id(0)
     pos = scal_ref[0]
     B = n_batch
@@ -125,24 +126,57 @@ def _kernel(hidden_ref, posemb_ref,
                 dma(vc_hbm.at[pl.ds(lo, gb), layer, pl.ds(0, rows)],
                     vbufs.at[buf_idx, :, pl.ds(0, rows)], sem_base + 1))
 
-    def cache_start(g, buf_idx, sem_base, layer):
+    def cache_dma_chunk(g, buf_idx, sem_base, j, layer):
+        lo = g * gb
+        sl = pl.ds(j * cache_chunk, cache_chunk)
+        return (dma(kc_hbm.at[pl.ds(lo, gb), layer, sl],
+                    kbufs.at[buf_idx, :, sl], sem_base),
+                dma(vc_hbm.at[pl.ds(lo, gb), layer, sl],
+                    vbufs.at[buf_idx, :, sl], sem_base + 1))
+
+    def cache_each(g, buf_idx, sem_base, layer, op):
+        """Start or wait this group/layer's cache copies.
+
+        Chunked mode streams only ceil(rows_needed / cache_chunk) chunks of
+        the active variant's buffer (scal_ref[2]; rows beyond rows_needed are
+        stale VMEM, masked out of attention by ``valid_sc``) — cache DMA bytes
+        are position-proportional instead of a fixed 320/640-row cascade.
+        Start/wait run the SAME scalar guards, so semaphore counts pair."""
+        if cache_chunk:
+            n_ch = scal_ref[2]
+            for rows in variants:
+                @when_variant(rows)
+                def _io(rows=rows):
+                    for j in range(rows // cache_chunk):
+                        @pl.when(j < n_ch)
+                        def _io_chunk(j=j):
+                            for c in cache_dma_chunk(g, buf_idx, sem_base, j,
+                                                     layer):
+                                getattr(c, op)()
+            return
         for rows in variants:
             @when_variant(rows)
-            def _start():
+            def _io(rows=rows):
                 for c in cache_dma(g, buf_idx, sem_base, rows, layer):
-                    c.start()
+                    getattr(c, op)()
+
+    def cache_start(g, buf_idx, sem_base, layer):
+        cache_each(g, buf_idx, sem_base, layer, "start")
 
     def cache_wait(g, buf_idx, sem_base, layer):
-        for rows in variants:
-            @when_variant(rows)
-            def _wait():
-                for c in cache_dma(g, buf_idx, sem_base, rows, layer):
-                    c.wait()
+        cache_each(g, buf_idx, sem_base, layer, "wait")
 
     # ---- prologue: decoder layer-0 streams start UNDER the LT phases ----
     @pl.when(i == 0)
     def _prologue():
         emb_acc[...] = jnp.zeros_like(emb_acc)
+        if cache_chunk:
+            # Chunked mode leaves rows past rows_needed un-DMA'd; scratch is
+            # uninitialized per call and a NaN bit-pattern there would poison
+            # the probs @ V contraction (0 * NaN = NaN) even though attention
+            # masks those rows. Zero everything BEFORE the first cache DMA.
+            kbufs[...] = jnp.zeros_like(kbufs)
+            vbufs[...] = jnp.zeros_like(vbufs)
         if "noweights" not in _ABLATE:                              # probe-only
             dma(qkv_hbm.at[0], qkv_sc, 0).start()
             dma(sao_hbm.at[0], sao_buf, 3).start()
@@ -503,15 +537,25 @@ def frame_step_batched_pallas(
 
     # Half-prefix cache streaming (decoder_step_batched.py contract): valid
     # covers existing rows; the new row is write_row, already the max bound.
+    # On top of the 320/640 COMPUTE cascade, cache DMA is chunked at
+    # ``cache_chunk`` rows: only ceil(rows_needed / chunk) chunks stream per
+    # group x layer, so cache traffic grows with position instead of jumping
+    # between fixed 320/640-row transfers (rows past rows_needed are stale
+    # VMEM, masked out of attention by the validity mask).
     s_half = 320 if S >= 512 else 0
+    cache_chunk = 160 if (S % 160 == 0 and (not s_half or s_half % 160 == 0)) \
+        else 0
+    last_valid = jnp.max(
+        jnp.where(valid, jnp.arange(S, dtype=jnp.int32)[None, :], -1))
+    rows_needed = jnp.maximum(last_valid, write_row.astype(jnp.int32)) + 1
     if s_half:
-        last_valid = jnp.max(
-            jnp.where(valid, jnp.arange(S, dtype=jnp.int32)[None, :], -1))
-        rows_needed = jnp.maximum(last_valid, write_row.astype(jnp.int32)) + 1
         half_flag = (rows_needed <= s_half).astype(jnp.int32)
     else:
         half_flag = jnp.int32(0)
-    scal = jnp.stack([write_row.astype(jnp.int32), half_flag])
+    n_chunks = ((rows_needed + cache_chunk - 1) // cache_chunk
+                if cache_chunk else jnp.int32(0))
+    scal = jnp.stack([write_row.astype(jnp.int32), half_flag,
+                      jnp.int32(n_chunks)])
     temp_arr = temperature.astype(jnp.float32).reshape(1)
     seeds_col = seeds.astype(jnp.int32).reshape(B, 1)
 
@@ -521,7 +565,7 @@ def frame_step_batched_pallas(
         vocab_pad=vocab_pad, top_k=top_k, audio_bos_id=c.audio_bos_id,
         audio_eos_id=c.audio_eos_id, n_layers=c.dec_layers, n_batch=B, gb=gb,
         d_model=D, n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E,
-        eps=c.eps, s_half=s_half)
+        eps=c.eps, s_half=s_half, cache_chunk=cache_chunk)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(
@@ -569,7 +613,7 @@ def frame_step_batched_pallas(
             const(B, 1),                        # enc_lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),   # temperature
             const(B, 1),                        # per-slot seeds
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [row, half]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [row, half, n_ch]
             dec_blk(1, 1, 3 * D),               # qkv scales
             dec_blk(1, 1, D),                   # sa_out scales
             dec_blk(1, 1, c.d_ffn),             # ff_proj scales

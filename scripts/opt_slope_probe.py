@@ -279,16 +279,101 @@ def probe_anatomy(pos_off=40):
     fsb._ABLATE = ""
 
 
+def probe_lockstep():
+    """Product-level lockstep batched loop (models.magpie), pallas-fused vs
+    pure-XLA step, slope over max_steps: the honest per-frame cost of each
+    path INCLUDING all loop glue. Grounds the tp-vs-dp serving decision
+    (under tp>1 meshes the XLA path runs; see parallel/serving.py)."""
+    from magpie_tts_tpu.models import magpie as magpie_mod
+
+    c = MagpieConfig()
+    w, _ = _setup(c)
+    T = 64
+    toks = np.full((B, T), 2, np.int32)
+    toks[:, 0] = c.text_bos_id
+    toks[:, -1] = c.text_eos_id
+    tokens = jnp.asarray(toks)
+    enc_lens = jnp.full((B,), T, jnp.int32)
+    spk = jnp.zeros((B,), jnp.int32)
+    temp = jnp.float32(0.7)
+
+    for label, use_pallas in [("pallas fused", True), ("pure XLA", False)]:
+        def make_run(n, use_pallas=use_pallas):
+            def run(keys):
+                codes, nf = magpie_mod.synthesize_codes_batched_program(
+                    tokens, enc_lens, spk, keys, temp, w, c, top_k=80,
+                    max_steps=n, use_pallas_decoder=use_pallas)
+                return nf
+            return jax.jit(run)
+
+        slope(f"lockstep loop [{label}]", make_run,
+              lambda rep: jax.random.split(
+                  jax.random.PRNGKey(rep), B))
+
+    import os
+    os.environ["MAGPIE_NO_FUSED"] = "1"
+    try:
+        def make_run(n):
+            def run(keys):
+                codes, nf = magpie_mod.synthesize_codes_batched_program(
+                    tokens, enc_lens, spk, keys, temp, w, c, top_k=80,
+                    max_steps=n, use_pallas_decoder=True)
+                return nf
+            return jax.jit(run)
+        slope("lockstep loop [split kernels]", make_run,
+              lambda rep: jax.random.split(jax.random.PRNGKey(rep), B))
+    finally:
+        del os.environ["MAGPIE_NO_FUSED"]
+
+
+def probe_single(pos_off=40):
+    """Single-stream fused frame kernel (frame_step.py) — the honest
+    us/frame for VERDICT r2 item 4 (single-stream floor)."""
+    c = MagpieConfig()
+    rng = np.random.default_rng(0)
+    w = jax.device_put(random_magpie_weights(c, seed=0).astype(DT))
+    E, S, D, L = 64, c.max_seq, c.d_model, c.dec_layers
+    from magpie_tts_tpu.ops.pallas_kernels.frame_step import frame_step_pallas
+    xa_k = jnp.asarray(rng.normal(0, 0.3, (L, E, c.d_xa)), DT)
+    xa_v = jnp.asarray(rng.normal(0, 0.3, (L, E, c.d_xa)), DT)
+    kc0 = jnp.asarray(rng.normal(0, 0.3, (L, S, D)), DT)
+    vc0 = jnp.asarray(rng.normal(0, 0.3, (L, S, D)), DT)
+    pos = jnp.int32(c.context_frames + pos_off)
+    temp = jnp.float32(0.7)
+    forbid = jnp.bool_(False)
+
+    def make_run(n):
+        def run(init, kc, vc):
+            def body(i, carry):
+                h, kc, vc = carry
+                s, a, h2, kc, vc = frame_step_pallas(
+                    h, pos, xa_k, xa_v, kc, vc, w, c,
+                    i.astype(jnp.int32), temp, 80, forbid,
+                    enc_length=jnp.int32(50))
+                return (h2.astype(DT), kc, vc)
+            return jax.lax.fori_loop(0, n, body, (init, kc, vc))[0]
+        return jax.jit(run)
+
+    slope(f"single-stream frame kernel (pos_off={pos_off})", make_run,
+          lambda rep: jnp.full((c.d_model,), 0.5 + rep * 1e-3, DT),
+          kc0, vc0)
+
+
 PROBES = {"minimal": probe_minimal, "constblk": probe_constblk,
           "dec": probe_dec, "lt": probe_lt, "fused": probe_fused,
-          "split": probe_split, "anatomy": probe_anatomy}
+          "split": probe_split, "anatomy": probe_anatomy,
+          "lockstep": probe_lockstep, "single": probe_single}
 
 
 def main():
     print(f"device={jax.devices()[0].device_kind}", file=sys.stderr)
     names = sys.argv[1:] or ["minimal", "constblk", "lt", "fused"]
     for nm in names:
-        PROBES[nm]()
+        if ":" in nm:   # e.g. fused:340 -> probe_fused(pos_off=340)
+            nm, arg = nm.split(":", 1)
+            PROBES[nm](int(arg))
+        else:
+            PROBES[nm]()
 
 
 if __name__ == "__main__":
