@@ -297,31 +297,34 @@ def probe_lockstep():
     spk = jnp.zeros((B,), jnp.int32)
     temp = jnp.float32(0.7)
 
+    # Weights are threaded as a jit ARGUMENT: closed-over arrays are inlined
+    # as HLO literals, and the pure-XLA program's serialized compile request
+    # then exceeds the tunnel's body limit (HTTP 413).
     for label, use_pallas in [("pallas fused", True), ("pure XLA", False)]:
         def make_run(n, use_pallas=use_pallas):
-            def run(keys):
+            def run(keys, weights):
                 codes, nf = magpie_mod.synthesize_codes_batched_program(
-                    tokens, enc_lens, spk, keys, temp, w, c, top_k=80,
+                    tokens, enc_lens, spk, keys, temp, weights, c, top_k=80,
                     max_steps=n, use_pallas_decoder=use_pallas)
                 return nf
             return jax.jit(run)
 
         slope(f"lockstep loop [{label}]", make_run,
               lambda rep: jax.random.split(
-                  jax.random.PRNGKey(rep), B))
+                  jax.random.PRNGKey(rep), B), w)
 
     import os
     os.environ["MAGPIE_NO_FUSED"] = "1"
     try:
         def make_run(n):
-            def run(keys):
+            def run(keys, weights):
                 codes, nf = magpie_mod.synthesize_codes_batched_program(
-                    tokens, enc_lens, spk, keys, temp, w, c, top_k=80,
+                    tokens, enc_lens, spk, keys, temp, weights, c, top_k=80,
                     max_steps=n, use_pallas_decoder=True)
                 return nf
             return jax.jit(run)
         slope("lockstep loop [split kernels]", make_run,
-              lambda rep: jax.random.split(jax.random.PRNGKey(rep), B))
+              lambda rep: jax.random.split(jax.random.PRNGKey(rep), B), w)
     finally:
         del os.environ["MAGPIE_NO_FUSED"]
 
