@@ -351,7 +351,7 @@ def test_prod_batched_decoder_step_interpret(rng, prod):
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
 
 
-@pytest.mark.parametrize("pos_off", [40, 340])  # half-prefix / full cache variants
+@pytest.mark.parametrize("pos_off", [40, 120, 340])  # 1/2/3-chunk, half/full variants
 def test_prod_batched_decoder_step_variants_interpret(rng, prod, pos_off):
     """Both cache-streaming variants (rows<=320 half-prefix, full 626) against
     the vmapped XLA oracle at production shapes."""
@@ -383,7 +383,7 @@ def test_prod_batched_decoder_step_variants_interpret(rng, prod, pos_off):
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
 
 
-@pytest.mark.parametrize("pos_off", [40, 340])  # half-prefix / full variants
+@pytest.mark.parametrize("pos_off", [40, 120, 340])  # 1/2/3-chunk, half/full variants
 def test_prod_frame_step_batched_interpret(rng, prod, pos_off):
     """Fused batched frame kernel == the two-kernel path (LT sampler +
     batched decoder step) at production shapes: bit-exact greedy codes, and
