@@ -541,3 +541,42 @@ def test_batched_decoder_step_matches_vmapped_masked(rng):
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=2e-4)
+
+
+def test_decode_loop_fused_matches_xla_greedy(rng, monkeypatch):
+    """Loop-LEVEL parity: decode_loop with the fused frame kernel (interpret)
+    produces the same greedy codes/frame count as the pure-XLA loop. The
+    fused branch carries its own EOS/codes/frame_idx glue inside the
+    while_loop body (models/magpie.py), which step-level tests don't cover —
+    this pins it on CPU (on-TPU analog: scripts/parity_decode.py)."""
+    import functools
+
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels import frame_step as fs_mod
+
+    c = CONFIG
+    w = WEIGHTS
+    enc_len = jnp.int32(6)
+    tokens = jnp.asarray(rng.integers(2, c.text_vocab_size - 2, size=8),
+                         jnp.int32)
+    xa_k, xa_v, state = magpie_mod.prepare(tokens, enc_len, jnp.int32(0), w, c)
+    key = jax.random.PRNGKey(5)
+    temp = jnp.float32(0.0)
+
+    monkeypatch.setattr(
+        fs_mod, "frame_step_pallas",
+        functools.partial(fs_mod.frame_step_pallas, interpret=True))
+
+    out_fused = magpie_mod.decode_loop(
+        xa_k, xa_v, state, enc_len, w, c, key, temp, 8, max_steps=6,
+        use_pallas_lt=True, use_pallas_decoder=True, use_fused=True)
+    out_xla = magpie_mod.decode_loop(
+        xa_k, xa_v, state, enc_len, w, c, key, temp, 8, max_steps=6,
+        use_pallas_lt=False, use_pallas_decoder=False, use_fused=False)
+
+    nf_f = int(out_fused.frame_idx)
+    nf_x = int(out_xla.frame_idx)
+    assert nf_f == nf_x
+    assert bool(out_fused.done) == bool(out_xla.done)
+    np.testing.assert_array_equal(np.asarray(out_fused.codes[:nf_f]),
+                                  np.asarray(out_xla.codes[:nf_x]))
