@@ -580,3 +580,45 @@ def test_decode_loop_fused_matches_xla_greedy(rng, monkeypatch):
     assert bool(out_fused.done) == bool(out_xla.done)
     np.testing.assert_array_equal(np.asarray(out_fused.codes[:nf_f]),
                                   np.asarray(out_xla.codes[:nf_x]))
+
+
+def test_batched_program_fused_matches_xla_greedy(rng, monkeypatch):
+    """Loop-LEVEL batched parity on CPU: synthesize_codes_batched_program with
+    the fused batched frame kernel (interpret) == the pure-XLA lockstep loop
+    at temp=0. Pins the fused branch's own EOS/codes/frame_idx glue in the
+    batched while_loop body (on-TPU analog: scripts/parity_batched.py)."""
+    import functools
+
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels import frame_step_batched as fsb_mod
+    from magpie_tts_tpu.ops.pallas_kernels import lt_sampler_batched as ltb_mod
+
+    c = CONFIG
+    w = WEIGHTS
+    B = 8
+    tokens = jnp.asarray(rng.integers(2, c.text_vocab_size - 2, size=(B, 8)),
+                         jnp.int32)
+    enc_lens = jnp.asarray(rng.integers(4, 9, size=(B,)), jnp.int32)
+    spk = jnp.zeros((B,), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    temp = jnp.float32(0.0)
+
+    codes_x, nf_x = magpie_mod.synthesize_codes_batched_program(
+        tokens, enc_lens, spk, keys, temp, w, c, top_k=8, max_steps=6,
+        use_pallas_decoder=False)
+
+    monkeypatch.setattr(magpie_mod, "use_pallas_default", lambda cfg: True)
+    monkeypatch.setattr(ltb_mod, "batched_shapes_ok", lambda b: True)
+    monkeypatch.setattr(
+        fsb_mod, "frame_step_batched_pallas",
+        functools.partial(fsb_mod.frame_step_batched_pallas, interpret=True))
+
+    codes_f, nf_f = magpie_mod.synthesize_codes_batched_program(
+        tokens, enc_lens, spk, keys, temp, w, c, top_k=8, max_steps=6,
+        use_pallas_decoder=True)
+
+    np.testing.assert_array_equal(np.asarray(nf_f), np.asarray(nf_x))
+    for b in range(B):
+        n = int(nf_x[b])
+        np.testing.assert_array_equal(np.asarray(codes_f[b, :n]),
+                                      np.asarray(codes_x[b, :n]))
