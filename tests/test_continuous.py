@@ -79,3 +79,47 @@ def test_slot_reuse_is_clean(rng):
         while engine.pending:
             out.update(engine.step(temperature=0.0, top_k=1))
         np.testing.assert_array_equal(out[rid], want)
+
+
+def test_staggered_requests_fused_kernels_interpret(rng, monkeypatch):
+    """Same staggered-admission scenario, but through the PALLAS ring-variant
+    kernels in interpret mode (fused batched frame + batched decoder step):
+    the ring write_row/validity machinery inside the kernels must agree with
+    the single-stream engine exactly (on-TPU analog: serve parity runs)."""
+    import functools
+
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels import (decoder_step_batched,
+                                                   frame_step_batched,
+                                                   lt_sampler_batched)
+
+    # Reference codes FIRST — the single-stream engine must keep its XLA
+    # path (non-interpret pallas cannot run on CPU).
+    reference = MagpieEngine(WEIGHTS, CONFIG, token_buckets=(16, 32))
+    requests = [_tokens(rng, n) for n in (4, 9, 6, 12)]
+    want = [reference.synthesize_codes(t, temperature=0.0, top_k=1).codes
+            for t in requests]
+
+    monkeypatch.setattr(magpie_mod, "use_pallas_default", lambda cfg: True)
+    monkeypatch.setattr(lt_sampler_batched, "batched_shapes_ok",
+                        lambda b: True)
+    for mod, name in ((frame_step_batched, "frame_step_batched_pallas"),
+                      (lt_sampler_batched, "sample_frame_codes_batched_pallas"),
+                      (decoder_step_batched, "decode_step_batched_pallas")):
+        monkeypatch.setattr(mod, name, functools.partial(
+            getattr(mod, name), interpret=True))
+
+    engine = ContinuousBatchingEngine(
+        WEIGHTS, CONFIG, n_slots=4, token_buckets=(16, 32), segment_frames=5)
+
+    ids = [engine.submit(t) for t in requests[:3]]
+    finished = dict(engine.step(temperature=0.0, top_k=1))
+    ids += [engine.submit(t) for t in requests[3:]]
+    while engine.pending:
+        finished.update(engine.step(temperature=0.0, top_k=1))
+
+    assert sorted(finished) == sorted(ids)
+    for req_id, tokens, expect in zip(ids, requests, want):
+        np.testing.assert_array_equal(
+            finished[req_id], expect,
+            err_msg=f"request {req_id} ({len(tokens)} tokens) diverged")
