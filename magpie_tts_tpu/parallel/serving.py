@@ -46,11 +46,13 @@ class BatchedMagpieEngine:
     def __init__(self, weights: MagpieWeights, config: MagpieConfig,
                  batch_size: int, mesh: Optional[Mesh] = None,
                  compute_dtype=jnp.float32,
-                 token_buckets: Sequence[int] = (32, 64, 128, 256)):
+                 token_buckets: Sequence[int] = (32, 64, 128, 256),
+                 split_token_id: int = 93):
         self.config = config
         self.batch_size = batch_size
         self.mesh = mesh
         self.token_buckets = tuple(token_buckets)
+        self.split_token_id = split_token_id
         dtype = jnp.dtype(compute_dtype)
         weights = weights if weights.text_emb.dtype == dtype else weights.astype(dtype)
         if mesh is not None and mesh.devices.size > 1:
@@ -126,29 +128,76 @@ class BatchedMagpieEngine:
                          seed: int = 0):
         """Synthesize up to ``batch_size`` utterances in lockstep.
 
-        Returns list of np.ndarray codes [n_frames_i, 8].
+        Inputs longer than the largest token bucket are split at word
+        boundaries (same rule as ``MagpieEngine.synthesize_codes``); the
+        chunks join the lockstep batch as extra rows — in waves of
+        ``batch_size`` if they overflow it — and each request's code streams
+        are re-concatenated. Arbitrary lengths synthesize, never a shape
+        error. Returns list of np.ndarray codes [n_frames_i, 8].
         """
         B = self.batch_size
         assert len(token_id_lists) <= B
-        lengths = [len(t) for t in token_id_lists]
+        from ..runtime.engine import split_to_buckets
+
+        c = self.config
+        per_request = [split_to_buckets(ids, self.token_buckets,
+                                        self.split_token_id,
+                                        c.text_bos_id, c.text_eos_id)
+                       for ids in token_id_lists]
+        if speaker_ids is None:
+            speaker_ids = np.zeros((len(token_id_lists),), np.int32)
+        else:
+            speaker_ids = np.asarray(speaker_ids, np.int32)
+
+        if all(len(ch) == 1 for ch in per_request):
+            # Fast path, bit-identical to the pre-chunking behavior
+            # (keys fold in the slot index).
+            keys = jax.vmap(lambda i: jax.random.fold_in(
+                jax.random.PRNGKey(seed), i))(jnp.arange(B))
+            return self._dispatch_wave([ch[0] for ch in per_request],
+                                       speaker_ids, keys, temperature, top_k)
+
+        # Chunked: flatten (request, chunk) work items, run in waves of <=B.
+        work = [(r, k, chunk) for r, chunks in enumerate(per_request)
+                for k, chunk in enumerate(chunks)]
+        results = [[None] * len(ch) for ch in per_request]
+        base = jax.random.PRNGKey(seed)
+        for w0 in range(0, len(work), B):
+            wave = work[w0: w0 + B]
+            keys = jnp.stack([
+                jax.random.fold_in(jax.random.fold_in(base, r), k)
+                for r, k, _ in wave])
+            spk = np.asarray([speaker_ids[r] for r, _, _ in wave], np.int32)
+            parts = self._dispatch_wave([ch for _, _, ch in wave], spk, keys,
+                                        temperature, top_k)
+            for (r, k, _), codes in zip(wave, parts):
+                results[r][k] = codes
+        return [np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+                for parts in results]
+
+    def _dispatch_wave(self, chunk_lists, speaker_ids, keys, temperature,
+                       top_k):
+        """One compiled lockstep call over <=B token chunks (each <= the
+        largest bucket). Returns per-chunk trimmed code arrays."""
+        B = self.batch_size
         from ..runtime.engine import pick_bucket
-        bucket = pick_bucket(self.token_buckets, max(lengths))
+        bucket = pick_bucket(self.token_buckets,
+                             max(len(ch) for ch in chunk_lists))
 
         tokens = np.zeros((B, bucket), np.int32)
         enc_lengths = np.ones((B,), np.int32)
-        for i, ids in enumerate(token_id_lists):
+        spk = np.zeros((B,), np.int32)
+        for i, ids in enumerate(chunk_lists):
             tokens[i, : len(ids)] = ids
             enc_lengths[i] = len(ids)
-        if speaker_ids is None:
-            speaker_ids = np.zeros((B,), np.int32)
-        else:
-            speaker_ids = np.asarray(speaker_ids, np.int32)
-        keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
-            jnp.arange(B))
+            spk[i] = speaker_ids[i]
+        if keys.shape[0] < B:
+            pad = jnp.zeros((B - keys.shape[0], keys.shape[1]), keys.dtype)
+            keys = jnp.concatenate([keys, pad], axis=0)
 
         codes, n_frames = self._fn(bucket, top_k)(
             self.weights, jnp.asarray(tokens), jnp.asarray(enc_lengths),
-            jnp.asarray(speaker_ids), keys, jnp.float32(temperature))
+            jnp.asarray(spk), keys, jnp.float32(temperature))
         codes = np.asarray(codes)
         n_frames = np.asarray(n_frames)
-        return [codes[i, : n_frames[i]] for i in range(len(token_id_lists))]
+        return [codes[i, : n_frames[i]] for i in range(len(chunk_lists))]

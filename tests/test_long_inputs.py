@@ -168,3 +168,27 @@ def test_continuous_long_request_chunks_and_reassembles():
                                     segment_frames=4)
     parts = eng2.synthesize_all(chunks, temperature=0.0)
     np.testing.assert_array_equal(finished[rid], np.concatenate(parts, axis=0))
+
+
+def test_batched_engine_long_input_matches_single_stream(engine):
+    """BatchedMagpieEngine chunks over-long requests into extra lockstep rows
+    (waves of batch_size) and reassembles — greedy codes equal the
+    single-stream engine's chunked result; short requests in the same batch
+    are unaffected."""
+    from magpie_tts_tpu.parallel.serving import BatchedMagpieEngine
+
+    bengine = BatchedMagpieEngine(WEIGHTS, CONFIG, batch_size=2,
+                                  token_buckets=TOKEN_BUCKETS,
+                                  split_token_id=SPACE)
+    long_ids = make_long_tokens(10)          # 41 tokens >> bucket 16
+    short_ids = make_long_tokens(2)          # fits
+    assert len(long_ids) > max(TOKEN_BUCKETS)
+
+    got = bengine.synthesize_batch([long_ids, short_ids],
+                                   temperature=0.0, top_k=1)
+    want_long = engine.synthesize_codes(long_ids, temperature=0.0,
+                                        top_k=1).codes
+    want_short = engine.synthesize_codes(short_ids, temperature=0.0,
+                                         top_k=1).codes
+    np.testing.assert_array_equal(got[0], want_long)
+    np.testing.assert_array_equal(got[1], want_short)
