@@ -123,25 +123,46 @@ def half_snake(x: jnp.ndarray, alpha: jnp.ndarray,
     return jnp.concatenate([snake, leaky], axis=-1)
 
 
-def _snake_conv(x, w, b, alpha, dilation, leaky_slope, use_pallas):
-    """(optional HalfSnake) -> causal conv, via the fused Pallas kernel on TPU
-    or XLA conv elsewhere. x: [N, T, C]."""
-    if use_pallas:
-        from ..ops.pallas_kernels.codec_conv import snake_causal_conv
+def _snake_conv(x, w, b, alpha, dilation, leaky_slope, use_pallas,
+                residual=None):
+    """(optional HalfSnake) -> causal conv (-> + residual), via the fused
+    Pallas kernel on TPU or XLA conv elsewhere. x: [N, T, C].
 
-        return jax.vmap(lambda xx: snake_causal_conv(
+    Small-channel convs (post-conv 27->1) run in the time-packed lane layout
+    at 1/p the rows (see codec_conv.pack_time)."""
+    if use_pallas:
+        from ..ops.pallas_kernels import codec_conv as cc
+
+        k, c_in, c_out = w.shape
+        p = cc.pick_pack(c_in, c_out)
+        if p > 1 and residual is None:
+            n, T, _ = x.shape
+
+            def one(xs):
+                xp = cc.pack_time(xs, p)
+                y = cc.snake_causal_conv_packed(
+                    xp, w, b, alpha, c_in, p, dilation=dilation,
+                    leaky_slope=leaky_slope)
+                return cc.unpack_time(y, p, T, c_out)
+
+            return jax.vmap(one)(x)
+        if residual is not None:
+            return jax.vmap(lambda xx, rr: cc.snake_causal_conv(
+                xx, w, b, alpha, dilation=dilation, leaky_slope=leaky_slope,
+                residual=rr))(x, residual)
+        return jax.vmap(lambda xx: cc.snake_causal_conv(
             xx, w, b, alpha, dilation=dilation, leaky_slope=leaky_slope))(x)
     h = x if alpha is None else half_snake(x, alpha, leaky_slope)
-    return causal_conv1d(h, w, b, dilation)
+    out = causal_conv1d(h, w, b, dilation)
+    return out if residual is None else out + residual
 
 
 def residual_block(x: jnp.ndarray, blk: ResBlockWeights, dilation: int,
                    leaky_slope: float, use_pallas: bool = False) -> jnp.ndarray:
     h = _snake_conv(x, blk.in_conv_w, blk.in_conv_b, blk.in_alpha, dilation,
                     leaky_slope, use_pallas)
-    h = _snake_conv(h, blk.sk_conv_w, blk.sk_conv_b, blk.sk_alpha, 1,
-                    leaky_slope, use_pallas)
-    return x + h
+    return _snake_conv(h, blk.sk_conv_w, blk.sk_conv_b, blk.sk_alpha, 1,
+                       leaky_slope, use_pallas, residual=x)
 
 
 def res_layer(x: jnp.ndarray, branches, dilations,
@@ -199,10 +220,9 @@ def _res_layer_packed(x: jnp.ndarray, branches, dilations,
                 r = cc.snake_causal_conv_packed(
                     h, blk.in_conv_w, blk.in_conv_b, blk.in_alpha, C, p,
                     dilation=dilation, leaky_slope=leaky_slope)
-                r = cc.snake_causal_conv_packed(
+                h = cc.snake_causal_conv_packed(
                     r, blk.sk_conv_w, blk.sk_conv_b, blk.sk_alpha, C, p,
-                    dilation=1, leaky_slope=leaky_slope)
-                h = h + r
+                    dilation=1, leaky_slope=leaky_slope, residual=h)
             acc = h if acc is None else acc + h
         return cc.unpack_time(acc / len(branches), p, T, C)
 

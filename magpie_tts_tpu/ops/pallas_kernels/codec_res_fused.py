@@ -81,8 +81,8 @@ def _kernel(prev_ref, cur_ref, bias_ref, alpha_ref, mask_ref, *rest,
         xf = x.astype(jnp.float32)
         alpha = alpha_ref[c, :].astype(jnp.float32)
         mask = mask_ref[c, :]
-        s = jnp.sin(alpha * xf)
-        snake = xf + (s * s) / alpha
+        s = cc._fast_sin(alpha * xf)
+        snake = xf + (s * s) * (1.0 / alpha)
         leaky = jnp.where(xf >= 0, xf, leaky_slope * xf)
         return jnp.where(mask > 0, snake, leaky).astype(dt)
 

@@ -39,6 +39,58 @@ def test_snake_causal_conv_matches_xla(rng, T, cin, cout, k, d, alpha_n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_fast_sin_accuracy():
+    """In-kernel polynomial sine: abs error vs libm over the ranges Snake
+    actually sees (alpha in ~[0.1, 3], activations up to ~1e2 -> args up to
+    a few hundred), plus a wide tail to bound reduction-error growth."""
+    from magpie_tts_tpu.ops.pallas_kernels.codec_conv import _fast_sin
+
+    for lo, hi, tol in [(-4.0, 4.0, 3e-7), (-300.0, 300.0, 2e-5),
+                        (-3e3, 3e3, 2e-4)]:
+        x = np.linspace(lo, hi, 200_001, dtype=np.float32)
+        got = np.asarray(jax.jit(_fast_sin)(jnp.asarray(x)))
+        want = np.sin(x.astype(np.float64))
+        assert np.max(np.abs(got - want)) < tol, (lo, hi)
+
+
+@pytest.mark.parametrize("cin,cout,k,d", [(108, 108, 11, 5), (432, 432, 3, 1)])
+def test_snake_conv_fused_residual_exact(rng, cin, cout, k, d):
+    """residual= fused into the kernel's f32 accumulator is bit-identical (at
+    f32 output) to kernel-then-add, across tile boundaries."""
+    T = 300
+    x = jnp.asarray(rng.normal(0, 0.5, size=(T, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, size=(k, cin, cout)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(0.4, 1.4, size=(cin // 2,)).astype(np.float32))
+    res = jnp.asarray(rng.normal(0, 0.5, size=(T, cout)).astype(np.float32))
+    base = snake_causal_conv(x, w, b, alpha, dilation=d, tile=128,
+                             interpret=True)
+    fused = snake_causal_conv(x, w, b, alpha, dilation=d, tile=128,
+                              interpret=True, residual=res)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(base + res))
+
+
+def test_packed_conv_fused_residual_exact(rng):
+    """Packed-domain residual fusion (used by _res_layer_packed): identical
+    to packed conv + add."""
+    from magpie_tts_tpu.ops.pallas_kernels import codec_conv as cc
+
+    C, k, d = 54, 11, 5
+    p = cc.pick_pack(C, C)
+    T = 259
+    x = jnp.asarray(rng.normal(0, 0.5, size=(T, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, size=(k, C, C)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(0.4, 1.4, size=(C // 2,)).astype(np.float32))
+    res = jnp.asarray(rng.normal(0, 0.5, size=(T, C)).astype(np.float32))
+    xp, rp = cc.pack_time(x, p), cc.pack_time(res, p)
+    base = cc.snake_causal_conv_packed(xp, w, b, alpha, C, p, dilation=d,
+                                       interpret=True)
+    fused = cc.snake_causal_conv_packed(xp, w, b, alpha, C, p, dilation=d,
+                                        interpret=True, residual=rp)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(base + rp))
+
+
 def test_lt_sampler_greedy_parity(rng):
     static_mask = sampling.forbidden_token_mask(
         CONFIG.vocab_per_cb, CONFIG.audio_bos_id, CONFIG.audio_eos_id)
