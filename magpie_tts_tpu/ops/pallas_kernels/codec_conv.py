@@ -52,6 +52,10 @@ def _fast_sin(x: jnp.ndarray) -> jnp.ndarray:
     for c in (_SIN_C[3], _SIN_C[2], _SIN_C[1], _SIN_C[0]):
         p = p * r2 + c
     s = r + r * (r2 * p)
+    # |x| >~ 1e8 defeats the two-term reduction (r leaves [-pi/2, pi/2] and
+    # the polynomial can overflow where libm sin stays bounded); clamp to the
+    # sine range so absurd activations degrade like jnp.sin instead of to inf.
+    s = jnp.clip(s, -1.0, 1.0)
     odd = n - 2.0 * jnp.floor(n * 0.5)          # 0.0 or 1.0
     return jnp.where(odd > 0.5, -s, s)
 

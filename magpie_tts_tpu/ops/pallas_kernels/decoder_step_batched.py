@@ -134,9 +134,9 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     def _prefetch_qkv():
         dma(qkv_hbm.at[l + 1], qkv_sc, 0).start()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
-    head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
-    seg = (lane // d_head == head).astype(jnp.float32)          # [D, H]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_model), 1)
+    head = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_model), 0)
+    seg_t = (lane // d_head == head).astype(jnp.float32)        # [H, D]
     inv_sqrt = 1.0 / jnp.sqrt(jnp.float32(d_head))
     wrows = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
 
@@ -161,11 +161,15 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
         dma(vbufs.at[buf, :, pl.ds(base, 16)],
             vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).start()
 
-        # Per-slot attention, with the two big per-slot elementwise ops
-        # algebraically removed (both transforms are BIT-EXACT because seg is
-        # 0/1 and the contraction order is unchanged):
-        #   (K (.) q) @ seg        ==  K @ (q (.) seg)     -- [D,H] mul, not [rows,D]
-        #   ones @ ((p@segT)(.)V)  ==  ones_H @ ((pT V) (.) segT)
+        # Per-slot attention in the TRANSPOSED (head-major) orientation:
+        # scoresT[H, rows] = (q (.) segT) . K contracted on the model dim, so
+        # the score matmul is M=H(pad 8)xN=rows instead of M=rowsxN=H(pad 128)
+        # — ~2x less slot-attend time measured (scripts/opt_attend_probe.py:
+        # 922->527 ns/slot at 320 rows, 1784->725 at 640, bf16), and the
+        # per-slot q transpose relayout disappears. The big per-slot
+        # elementwise ops stay algebraically removed (seg is 0/1):
+        #   (q (.) segT) . K       ==  per-head scores       -- [H,D] mul
+        #   ones_H @ ((pT V) (.) segT)  ==  head-concat of p@V
         # Only the DMAed row prefix is touched, so the half variant also
         # halves the score/weight compute.
         # Operands stay in the cache dtype: for bf16 caches the products are
@@ -182,25 +186,25 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
                 for b in range(gb):
                     q_b = qkv[lo + b: lo + b + 1, :d_model].astype(jnp.float32)
                     kb = kbufs[buf, b, pl.ds(0, rows)]
-                    qseg = (q_b.T * seg).astype(cdt)            # [D, H] exact
-                    scores = jnp.dot(kb, qseg,
-                                     preferred_element_type=jnp.float32,
-                                     precision=hi)
-                    scores = scores * inv_sqrt                  # [rows, H]
-                    vmask = valid_ref[pl.ds(0, rows),
-                                      lo + b: lo + b + 1] > 0   # [rows, 1]
+                    qh = (q_b * seg_t).astype(cdt)              # [H, D] exact
+                    scores = jax.lax.dot_general(
+                        qh, kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=hi)
+                    scores = scores * inv_sqrt                  # [H, rows]
+                    vmask = valid_ref[lo + b: lo + b + 1,
+                                      pl.ds(0, rows)] > 0       # [1, rows]
                     scores = jnp.where(vmask, scores, _NEG)
-                    m = jnp.max(scores, axis=0, keepdims=True)
+                    m = jnp.max(scores, axis=1, keepdims=True)
                     p = jnp.exp(scores - m)
-                    probs = p / jnp.sum(p, axis=0, keepdims=True)
+                    probs = p / jnp.sum(p, axis=1, keepdims=True)
                     probs_w = probs.astype(wdt).astype(cdt)     # round like XLA
                     vb = vbufs[buf, b, pl.ds(0, rows)]
-                    pv = jax.lax.dot_general(
-                        probs_w, vb, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=hi)                           # [H, D]
+                    pv = jnp.dot(probs_w, vb,
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)                  # [H, D]
                     attn_ref[lo + b: lo + b + 1, :] = dot_hi(
-                        ones_h, pv * seg.T)
+                        ones_h, pv * seg_t)
 
         dma(kbufs.at[buf, :, pl.ds(base, 16)],
             kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()
@@ -272,8 +276,8 @@ def decode_step_batched_pallas(
     x: [B, d_model] frame embeddings WITH position embeddings already added;
     write_row: scalar i32 cache row for every slot's new K/V;
     valid: [B, max_seq] bool attention membership (must include write_row for
-    live slots; passed transposed to the kernel so per-slot columns slice
-    without a vector transpose); caches: [B, L, max_seq, d_model] (aliased).
+    live slots; per-slot rows slice directly into the head-major attend's
+    [1, rows] lane mask); caches: [B, L, max_seq, d_model] (aliased).
     Returns (hidden [B, d_model], k_cache, v_cache).
     """
     dec = weights.decoder
@@ -336,7 +340,7 @@ def decode_step_batched_pallas(
             per_l(1, c.d_xa, D),                             # xa_out
             pl.BlockSpec((B, 1, E, c.d_xa), lambda l: (0, l, 0, 0)),  # xa_k
             pl.BlockSpec((B, 1, E, c.d_xa), lambda l: (0, l, 0, 0)),  # xa_v
-            const(S, B),                                     # valid (i32, transposed)
+            const(B, S),                                     # valid (i32)
             const(B, 1),                                     # enc_lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),           # scal
             per_l(1, 1, 3 * D),                              # qkv scales
@@ -372,7 +376,7 @@ def decode_step_batched_pallas(
     )(x.astype(dtype), norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
       dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
       xa_k.astype(dtype), xa_v.astype(dtype),
-      valid.T.astype(jnp.int32), enc_lengths.astype(jnp.int32).reshape(B, 1),
+      valid.astype(jnp.int32), enc_lengths.astype(jnp.int32).reshape(B, 1),
       scal,
       qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
       qkv_w, sao_w, ffp_w, ffo_w, k_cache, v_cache)

@@ -192,9 +192,9 @@ def _kernel(hidden_ref, posemb_ref,
         if "nolt" in _ABLATE:                                       # probe-only
             @pl.when(cb == n_cb - 1)
             def _transition_ablated():
-                newcol = maycont_ref[...]
-                srows = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
-                valid_sc[...] = jnp.where(srows == pos, newcol, valid_ref[...])
+                newcol = maycont_ref[...]                           # [B, 1]
+                scols = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+                valid_sc[...] = jnp.where(scols == pos, newcol, valid_ref[...])
                 x_ref[...] = posemb_ref[...].astype(jnp.float32)
                 out_row = jax.lax.broadcasted_iota(jnp.int32, (n_cb, B), 0)
                 sampled_ref[...] = out_row
@@ -303,14 +303,20 @@ def _kernel(hidden_ref, posemb_ref,
         @pl.when(cb == n_cb - 1)
         def _transition():
             # In-kernel EOS (any codebook, sampled or argmax —
-            # sampling.frame_has_eos) decides the new row's validity.
+            # sampling.frame_has_eos) decides the new row's validity. The
+            # per-slot hit count lands in [B, 1] orientation directly via a
+            # dim0/dim0 contraction (no [1,B] -> [B,1] vector transpose).
             eos_hits = ((sampled_ref[...] == audio_eos_id)
-                        | (argmax_ref[...] == audio_eos_id)).astype(jnp.int32)
-            eos_col = (jnp.sum(eos_hits, axis=0, keepdims=True) > 0
-                       ).astype(jnp.int32)                           # [1, B]
-            newcol = maycont_ref[...] * (1 - eos_col)                # [1, B]
-            srows = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0)
-            valid_sc[...] = jnp.where(srows == pos, newcol, valid_ref[...])
+                        | (argmax_ref[...] == audio_eos_id)
+                        ).astype(jnp.float32)                        # [n_cb, B]
+            eos_cnt = jax.lax.dot_general(
+                eos_hits, jnp.ones((n_cb, 1), jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                  # [B, 1]
+            eos_col = (eos_cnt > 0).astype(jnp.int32)                # [B, 1]
+            newcol = maycont_ref[...] * (1 - eos_col)                # [B, 1]
+            scols = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+            valid_sc[...] = jnp.where(scols == pos, newcol, valid_ref[...])
 
             # Decoder seed with the XLA path's rounding points:
             # mean rounds to wdt, the pos-emb add happens in wdt.
@@ -338,9 +344,9 @@ def _kernel(hidden_ref, posemb_ref,
             def _prefetch_qkv():
                 dma(qkv_hbm.at[l + 1], qkv_sc, 0).start()
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 0)
-        head = jax.lax.broadcasted_iota(jnp.int32, (d_model, n_heads), 1)
-        seg = (lane // d_head == head).astype(jnp.float32)          # [D, H]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_model), 1)
+        head = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_model), 0)
+        seg_t = (lane // d_head == head).astype(jnp.float32)        # [H, D]
         inv_sqrt = 1.0 / jnp.sqrt(jnp.float32(d_head))
         wrows = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
 
@@ -377,9 +383,10 @@ def _kernel(hidden_ref, posemb_ref,
                         vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)],
                         13).wait()
                 continue
-            # Bit-exact algebraic forms of the per-slot score/context ops —
-            # see decoder_step_batched.py: K@(q(.)seg), ones_H@((pT V)(.)segT),
-            # native-dtype operands (single-pass bf16 dots, exact products).
+            # Transposed (head-major) per-slot attention — see
+            # decoder_step_batched.py: scoresT = (q(.)segT).K on the model
+            # dim (M=H not M=rows), ones_H@((p V)(.)segT), native-dtype
+            # operands (single-pass bf16 dots, exact products).
             for rows in variants:
                 @when_variant(rows)
                 def _attend(rows=rows):
@@ -391,25 +398,25 @@ def _kernel(hidden_ref, posemb_ref,
                         q_b = qkv[lo + b: lo + b + 1,
                                   :d_model].astype(jnp.float32)
                         kb = kbufs[buf, b, pl.ds(0, rows)]
-                        qseg = (q_b.T * seg).astype(cdt)        # [D, H] exact
-                        scores = jnp.dot(kb, qseg,
-                                         preferred_element_type=jnp.float32,
-                                         precision=hi)
-                        scores = scores * inv_sqrt                  # [rows, H]
-                        vmask = valid_sc[pl.ds(0, rows),
-                                         lo + b: lo + b + 1] > 0
+                        qh = (q_b * seg_t).astype(cdt)          # [H, D] exact
+                        scores = jax.lax.dot_general(
+                            qh, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=hi)
+                        scores = scores * inv_sqrt                  # [H, rows]
+                        vmask = valid_sc[lo + b: lo + b + 1,
+                                         pl.ds(0, rows)] > 0
                         scores = jnp.where(vmask, scores, _NEG)
-                        m = jnp.max(scores, axis=0, keepdims=True)
+                        m = jnp.max(scores, axis=1, keepdims=True)
                         p = jnp.exp(scores - m)
-                        probs = p / jnp.sum(p, axis=0, keepdims=True)
+                        probs = p / jnp.sum(p, axis=1, keepdims=True)
                         probs_w = probs.astype(wdt).astype(cdt)
                         vb = vbufs[buf, b, pl.ds(0, rows)]
-                        pv = jax.lax.dot_general(
-                            probs_w, vb, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=hi)                       # [H, D]
+                        pv = jnp.dot(probs_w, vb,
+                                     preferred_element_type=jnp.float32,
+                                     precision=hi)               # [H, D]
                         attn_ref[lo + b: lo + b + 1, :] = dot_hi(
-                            ones_h, pv * seg.T)
+                            ones_h, pv * seg_t)
 
             if "nocache" not in _ABLATE:                            # probe-only
                 dma(kbufs.at[buf, :, pl.ds(base, 16)],
@@ -598,7 +605,7 @@ def frame_step_batched_pallas(
             lt_blk(1, 1, c.vocab_per_cb),           # lt out_proj_b
             lt_blk(1, vocab_pad, D),            # audio embedding table
             const(B, 1),                        # forbid_eos
-            const(1, B),                        # may_continue
+            const(B, 1),                        # may_continue
             dec_blk(1, 3, D),                   # norms
             const(1, D),                        # final norm
             dec_blk(1, D, c.d_xa),              # xa_q
@@ -609,7 +616,7 @@ def frame_step_batched_pallas(
             pl.BlockSpec((B, 1, E, c.d_xa),
                          lambda i: (0, jnp.clip(i - n_cb, 0,
                                                 c.dec_layers - 1), 0, 0)),
-            const(S, B),                        # valid (i32, transposed)
+            const(B, S),                        # valid (i32)
             const(B, 1),                        # enc_lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),   # temperature
             const(B, 1),                        # per-slot seeds
@@ -635,7 +642,7 @@ def frame_step_batched_pallas(
             pltpu.VMEM((B * _SEQ, 2 * c.lt_dim), dtype),  # LT K/V rows
             pltpu.VMEM((B, c.lt_dim), jnp.float32),    # LT current-row x
             pltpu.VMEM((B, D), jnp.float32),           # embedding accumulator
-            pltpu.VMEM((S, B), jnp.int32),             # valid incl. new row
+            pltpu.VMEM((B, S), jnp.int32),             # valid incl. new row
             pltpu.VMEM((B, D), jnp.float32),           # x carry
             pltpu.VMEM((B, D), jnp.float32),           # attention out
             pltpu.VMEM((D, 3 * D), stream_dtype),      # qkv weights
@@ -659,11 +666,11 @@ def frame_step_batched_pallas(
       lt.out_proj_w.astype(dtype),
       lt.out_proj_b.astype(jnp.float32).reshape(n_cb, 1, -1),
       emb_tbl, forbid_eos.astype(jnp.int32).reshape(B, 1),
-      may_continue.astype(jnp.int32).reshape(1, B),
+      may_continue.astype(jnp.int32).reshape(B, 1),
       norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
       dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
       xa_k.astype(dtype), xa_v.astype(dtype),
-      valid.T.astype(jnp.int32), enc_lengths.astype(jnp.int32).reshape(B, 1),
+      valid.astype(jnp.int32), enc_lengths.astype(jnp.int32).reshape(B, 1),
       temp_arr, seeds_col, scal,
       qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
       qkv_w, sao_w, ffp_w, ffo_w, k_cache, v_cache)
