@@ -137,18 +137,22 @@ def _kernel(hidden_ref, posemb_ref,
         from ...ops import sampling as _sampling
 
         temp = temp_ref[0]
-        in_topk = _sampling.exact_topk_mask(logits[None, :], top_k)[0]
-        base = _sampling.phase_seed(flags_ref[1], cb)
-        cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
-        gumbel = _sampling.gumbel_from_seed(base, cols2)[0]
-        safe_temp = jnp.maximum(temp, 0.01)
-        z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
-        drawn = jnp.argmax(z).astype(jnp.int32)
-
-        greedy = temp < 0.01
-        code = jnp.where(greedy, amax, drawn)
-        code_smem[cb] = code
+        code_smem[cb] = amax
         amax_smem[cb] = amax
+
+        # Greedy (temp < 0.01, reference rule magpie.cpp:1263) skips the
+        # top-k bisection + Gumbel draw entirely (cf. frame_step_batched.py).
+        @pl.when(temp >= 0.01)
+        def _draw():
+            in_topk = _sampling.exact_topk_mask(logits[None, :], top_k)[0]
+            base = _sampling.phase_seed(flags_ref[1], cb)
+            cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
+            gumbel = _sampling.gumbel_from_seed(base, cols2)[0]
+            safe_temp = jnp.maximum(temp, 0.01)
+            z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
+            code_smem[cb] = jnp.argmax(z).astype(jnp.int32)
+
+        code = code_smem[cb]
 
         # fetch this code's embedding row (16-aligned window), accumulate the
         # frame embedding, and (for cb < 7) feed the projection back into seq

@@ -35,6 +35,7 @@ tests/test_pallas_kernels.py at production (357M) shapes in interpret mode.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -52,9 +53,10 @@ _NEG = -1e30
 # PROBE-ONLY ablation knob (scripts/opt_slope_probe.py anatomy mode):
 # trace-time removal of kernel stages to attribute per-step cost. Production
 # never sets it; outputs are WRONG under any non-empty value. Recognized:
-# "nolt" (skip LT phase bodies), "noattend" (skip per-slot attention loop),
-# "nocache" (skip K/V cache group DMAs), "noweights" (skip qkv/sao/ffp/ffo
-# HBM streams + their matmuls), "noxa" (skip cross-attention).
+# "nolt" (skip LT phase bodies), "nosamp" (greedy-only: skip top-k bisection
+# + Gumbel draw, keep everything else), "noattend" (skip per-slot attention
+# loop), "nocache" (skip K/V cache group DMAs), "noweights" (skip
+# qkv/sao/ffp/ffo HBM streams + their matmuls), "noxa" (skip cross-attention).
 _ABLATE = ""
 
 
@@ -259,27 +261,37 @@ def _kernel(hidden_ref, posemb_ref,
                        axis=-1).astype(jnp.int32)                    # [B]
 
         # EXACT top-k membership + per-slot counter-based Gumbel noise
-        # (shared implementation, ops/sampling.py — backend-identical).
+        # (shared implementation, ops/sampling.py — backend-identical). The
+        # whole draw sits under pl.when(~greedy): temp<0.01 runs (reference
+        # greedy rule, magpie.cpp:1263) skip the 32-pass top-k bisection and
+        # the double-log Gumbel transform entirely — measured 102 us/step at
+        # B=32 (738 -> 636 us, nosamp ablation slope probe).
         from ...ops import sampling as _sampling
 
         temp = temp_ref[0]
-        in_topk = _sampling.exact_topk_mask(logits, top_k)
-        base = _sampling.phase_seed(seeds_ref[...], cb)             # [B, 1]
-        gumbel = _sampling.gumbel_from_seed(base, ids)
-        safe_temp = jnp.maximum(temp, 0.01)
-        z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
-        z_max = jnp.max(z, axis=-1, keepdims=True)
-        drawn = jnp.min(jnp.where(z == z_max, ids, vocab),
-                        axis=-1).astype(jnp.int32)
-
-        greedy = temp < 0.01
-        code = jnp.where(greedy, amax, drawn)                        # [B]
-
         out_row = jax.lax.broadcasted_iota(jnp.int32, (n_cb, B), 0)
-        sampled_ref[...] = jnp.where(out_row == cb, code[None, :],
+        sampled_ref[...] = jnp.where(out_row == cb, amax[None, :],
                                      sampled_ref[...])
         argmax_ref[...] = jnp.where(out_row == cb, amax[None, :],
                                     argmax_ref[...])
+
+        if "nosamp" not in _ABLATE:                                 # probe knob
+            @pl.when(temp >= 0.01)
+            def _draw():
+                in_topk = _sampling.exact_topk_mask(logits, top_k)
+                base = _sampling.phase_seed(seeds_ref[...], cb)     # [B, 1]
+                gumbel = _sampling.gumbel_from_seed(base, ids)
+                safe_temp = jnp.maximum(temp, 0.01)
+                z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
+                z_max = jnp.max(z, axis=-1, keepdims=True)
+                drawn = jnp.min(jnp.where(z == z_max, ids, vocab),
+                                axis=-1).astype(jnp.int32)
+                sampled_ref[...] = jnp.where(out_row == cb, drawn[None, :],
+                                             sampled_ref[...])
+
+        # The decided code (greedy or drawn) feeds the embedding/feedback.
+        code = jnp.sum(jnp.where(out_row == cb, sampled_ref[...], 0),
+                       axis=0).astype(jnp.int32)                     # [B]
 
         # Full-d_model embedding row of the sampled code (exact one-hot
         # gather — each output is a single 1.0 x value product), accumulated
@@ -516,7 +528,9 @@ def frame_step_batched_pallas(
     dtype = weights.text_emb.dtype
     B, L, S, D = k_cache.shape
     E = xa_k.shape[2]
-    gb = min(B, 8)
+    # Cache-group width: slots whose K/V stream together per layer.
+    # Env knob for probing group-size trade-offs (gb=16 fits VMEM at B=32).
+    gb = min(B, int(os.environ.get("MAGPIE_GB", "8")))
     assert B % gb == 0, (B, gb)
     top_k = min(top_k, c.vocab_per_cb)
     n_cb = c.num_codebooks

@@ -184,31 +184,37 @@ def _kernel(hidden_ref, in_proj_w_ref, in_proj_b_ref, pos_ref,
     amax = jnp.min(jnp.where(logits == row_max, ids, vocab_lane),
                    axis=-1).astype(jnp.int32)                       # [B]
 
-    if "nosample" in _ABLATE:                                       # probe-only
-        code = amax
-    else:
-        # ---- EXACT top-k membership + per-slot counter-based Gumbel noise
-        # (shared implementation, ops/sampling.py — backend-identical).
-        from ...ops import sampling as _sampling
-
-        temp = temp_ref[0]
-        in_topk = _sampling.exact_topk_mask(logits, top_k)
-        base = _sampling.phase_seed(seeds_ref[...], cb)             # [B, 1]
-        gumbel = _sampling.gumbel_from_seed(base, ids)
-        safe_temp = jnp.maximum(temp, 0.01)
-        z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
-        z_max = jnp.max(z, axis=-1, keepdims=True)
-        drawn = jnp.min(jnp.where(z == z_max, ids, vocab_lane),
-                        axis=-1).astype(jnp.int32)
-
-        greedy = temp < 0.01
-        code = jnp.where(greedy, amax, drawn)                       # [B]
-
     # Masked full-array writes: a (1, B) block would violate Mosaic's 8-sublane
     # rule, so the whole [n_cb, B] output revolves in VMEM across grid steps.
     out_row = jax.lax.broadcasted_iota(jnp.int32, (n_cb, B), 0)
-    sampled_ref[...] = jnp.where(out_row == cb, code[None, :], sampled_ref[...])
+    sampled_ref[...] = jnp.where(out_row == cb, amax[None, :], sampled_ref[...])
     argmax_ref[...] = jnp.where(out_row == cb, amax[None, :], argmax_ref[...])
+
+    if "nosample" not in _ABLATE:                                   # probe knob
+        # ---- EXACT top-k membership + per-slot counter-based Gumbel noise
+        # (shared implementation, ops/sampling.py — backend-identical), under
+        # pl.when(~greedy): temp<0.01 skips the bisection + Gumbel entirely
+        # (cf. frame_step_batched.py).
+        from ...ops import sampling as _sampling
+
+        temp = temp_ref[0]
+
+        @pl.when(temp >= 0.01)
+        def _draw():
+            in_topk = _sampling.exact_topk_mask(logits, top_k)
+            base = _sampling.phase_seed(seeds_ref[...], cb)         # [B, 1]
+            gumbel = _sampling.gumbel_from_seed(base, ids)
+            safe_temp = jnp.maximum(temp, 0.01)
+            z = jnp.where(in_topk, logits / safe_temp + gumbel, _NEG)
+            drawn = jnp.min(jnp.where(z == jnp.max(z, axis=-1, keepdims=True),
+                                      ids, vocab_lane),
+                            axis=-1).astype(jnp.int32)              # [B]
+            sampled_ref[...] = jnp.where(out_row == cb, drawn[None, :],
+                                         sampled_ref[...])
+
+    # The decided code (greedy or drawn) feeds the embedding gather.
+    code = jnp.sum(jnp.where(out_row == cb, sampled_ref[...], 0),
+                   axis=0).astype(jnp.int32)                        # [B]
 
     # ---- feedback: one-hot gather from the pre-projected table into the
     # next phase's current-row x.

@@ -18,6 +18,7 @@ Usage: python scripts/opt_slope_probe.py [probe ...]
 """
 
 import functools
+import os
 import sys
 import time
 
@@ -176,7 +177,8 @@ def probe_fused(pos_off=40):
     valid = (jnp.arange(c.max_seq)[None, :] <= pos) & jnp.ones((B, 1), bool)
     posemb = jnp.broadcast_to(
         w.decoder.pos_emb[pos][None, :].astype(DT), (B, c.d_model))
-    temp = jnp.float32(0.7)
+    probe_temp = float(os.environ.get("MAGPIE_PROBE_TEMP", "0.7"))
+    temp = jnp.float32(probe_temp)
     forbid = jnp.zeros((B,), bool)
     maycont = jnp.ones((B,), bool)
 
@@ -193,7 +195,8 @@ def probe_fused(pos_off=40):
             return jax.lax.fori_loop(0, n, body, (init, kc, vc))[0]
         return jax.jit(run)
 
-    slope(f"fused frame kernel (pos_off={pos_off})", make_run,
+    slope(f"fused frame kernel (pos_off={pos_off}, temp={probe_temp})",
+          make_run,
           lambda rep: jnp.full((B, c.d_model), 0.5 + rep * 1e-3, DT),
           d["k_cache"], d["v_cache"])
 
