@@ -122,6 +122,62 @@ def _fused_chunk_fn(engine: MagpieEngine, codec: CodecEngine,
     return fn
 
 
+def _fused_first_chunk_fn(engine: MagpieEngine, codec: CodecEngine,
+                          bucket: int, top_k: int, k: int, ctx: int):
+    """Prefill + first chunk in ONE compiled program.
+
+    TTFA on a tunneled TPU is dominated by ~25ms dispatch round trips; folding
+    ``prepare`` (encoder + XA precompute + context prefill) into the first
+    decode+vocode chunk removes one of the two dispatches on the
+    time-to-first-audio path. Returns (xa_k, xa_v, state, flat) so the caller
+    can continue with the steady-state chunk program."""
+    key = (codec.uid, bucket, top_k, k, ctx, "first")
+    fn = engine._fused_chunk_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import codec as codec_mod
+    from ..models import magpie as magpie_mod
+
+    mc = engine.config
+    ccfg = codec.config
+    use_pallas_lt = engine.use_pallas_lt
+    use_pallas_decoder = engine.use_pallas_decoder
+    use_fused = engine.use_fused
+    use_pallas_codec = codec.use_pallas
+    win = min(ctx + k, mc.max_dec_steps)  # tiny-config guard
+
+    def prog(m_weights, int8_stream, c_weights, tokens, enc_length,
+             speaker_id, rng_key, temperature):
+        xa_k, xa_v, state = magpie_mod.prepare(tokens, enc_length, speaker_id,
+                                               m_weights, mc)
+        start = state.frame_idx
+        target = jnp.minimum(start + k, mc.max_dec_steps)
+        state = magpie_mod.decode_loop(
+            xa_k, xa_v, state, enc_length, m_weights, mc, rng_key,
+            temperature, top_k, target_frames=target,
+            use_pallas_lt=use_pallas_lt, use_pallas_decoder=use_pallas_decoder,
+            use_fused=use_fused, int8_stream=int8_stream)
+        base = jnp.clip(start - ctx, 0, mc.max_dec_steps - win)
+        window = jax.lax.dynamic_slice(
+            state.codes, (base, 0), (win, mc.num_codebooks))
+        audio = codec_mod.codec_decode(window.T, c_weights, ccfg,
+                                       use_pallas=use_pallas_codec)
+        meta = jnp.stack([state.frame_idx.astype(jnp.float32),
+                          state.done.astype(jnp.float32),
+                          start.astype(jnp.float32),
+                          base.astype(jnp.float32)])
+        return xa_k, xa_v, state, jnp.concatenate([audio.astype(jnp.float32),
+                                                   meta])
+
+    fn = jax.jit(prog)
+    engine._fused_chunk_cache[key] = fn
+    return fn
+
+
 def stream_sentence(engine: MagpieEngine, codec: CodecEngine,
                     token_ids, params: StreamParams,
                     sentence_index: int = 0, total_sentences: int = 1
@@ -133,22 +189,34 @@ def stream_sentence(engine: MagpieEngine, codec: CodecEngine,
     import jax
     import jax.numpy as jnp
 
-    stream = engine.begin_stream(token_ids, speaker_id=params.speaker_id)
+    tokens, enc_length, bucket = engine._pad_tokens(token_ids)
     k = params.frames_per_chunk
     ctx = params.codec_context_frames
     hop = codec.config.hop_length
-    fn = _fused_chunk_fn(engine, codec, stream["bucket"], params.top_k, k, ctx)
+    fn = _fused_chunk_fn(engine, codec, bucket, params.top_k, k, ctx)
+    first_fn = _fused_first_chunk_fn(engine, codec, bucket, params.top_k, k,
+                                     ctx)
 
+    stream = None
     done = False
     chunk_idx = 0
     stalls = 0
     while not done:
         rng_key = jax.random.fold_in(jax.random.PRNGKey(params.seed), chunk_idx)
-        state, flat = fn(engine.weights, engine.int8_stream, codec.weights,
-                         stream["xa_k"], stream["xa_v"], stream["state"],
-                         stream["enc_length"], rng_key,
-                         jnp.float32(params.temperature))
-        stream["state"] = state
+        if stream is None:
+            # First chunk: prefill + decode + vocode, one dispatch.
+            xa_k, xa_v, state, flat = first_fn(
+                engine.weights, engine.int8_stream, codec.weights,
+                tokens, enc_length, jnp.int32(params.speaker_id), rng_key,
+                jnp.float32(params.temperature))
+            stream = {"xa_k": xa_k, "xa_v": xa_v, "state": state,
+                      "enc_length": enc_length}
+        else:
+            state, flat = fn(engine.weights, engine.int8_stream, codec.weights,
+                             stream["xa_k"], stream["xa_v"], stream["state"],
+                             stream["enc_length"], rng_key,
+                             jnp.float32(params.temperature))
+            stream["state"] = state
         flat = np.asarray(flat)
         audio, meta = flat[:-4], flat[-4:]
         end, done_f, start, base = (int(meta[0]), meta[1] > 0.5,
@@ -183,19 +251,20 @@ def warmup_streaming(engine: MagpieEngine, codec: CodecEngine,
                      token_buckets=None) -> None:
     """Compile the REAL streaming path for each token bucket.
 
-    Production streaming runs the fused decode+vocode chunk program
-    (``_fused_chunk_fn``), not the split ``decode_chunk`` program that
+    Production streaming runs the fused prefill+decode+vocode FIRST-chunk
+    program (``_fused_first_chunk_fn``) then the steady-state chunk program
+    (``_fused_chunk_fn``) — not the split ``decode_chunk`` program that
     ``engine.warmup(streaming=True)`` compiles — so this is the warmup that
-    makes a first streaming request's TTFA equal steady state. One chunk per
-    bucket is pulled (compiling prepare + the fused chunk program), then the
-    stream is abandoned.
+    makes a first streaming request's TTFA equal steady state. TWO chunks per
+    bucket are pulled (compiling both programs), then the stream is abandoned.
     """
     params = params or StreamParams()
     for bucket in (token_buckets or engine.token_buckets):
         tokens = [engine.config.text_bos_id] + [2] * (bucket - 2) + \
             [engine.config.text_eos_id]
-        for _ in stream_sentence(engine, codec, tokens, params):
-            break
+        for i, _ in enumerate(stream_sentence(engine, codec, tokens, params)):
+            if i >= 1:
+                break
 
 
 def stream_text(engine: MagpieEngine, codec: CodecEngine, tokenizer,

@@ -98,9 +98,9 @@ def test_streaming_chunks_concat_equals_full_decode(engine, codec_engine):
 
 def test_warmup_streaming_compiles_fused_chunk_programs(codec_engine):
     """warmup_streaming must compile the PRODUCTION streaming programs (the
-    fused decode+vocode chunk fn + prepare), so a first real request finds
-    them cached — the round-2 gap was warmup compiling only the split
-    decode_chunk program streaming never runs."""
+    fused prefill+first-chunk fn AND the steady-state fused chunk fn), so a
+    first real request finds them cached — the round-2 gap was warmup
+    compiling only the split decode_chunk program streaming never runs."""
     eng = MagpieEngine(WEIGHTS, CONFIG, token_buckets=TOKEN_BUCKETS)
     params = streaming.StreamParams(temperature=0.0, frames_per_chunk=2,
                                     codec_context_frames=4)
@@ -110,14 +110,14 @@ def test_warmup_streaming_compiles_fused_chunk_programs(codec_engine):
     for bucket in (8, 16):
         assert (codec_engine.uid, bucket, params.top_k, k, ctx) \
             in eng._fused_chunk_cache
-        assert bucket in eng._prepare_cache
+        assert (codec_engine.uid, bucket, params.top_k, k, ctx, "first") \
+            in eng._fused_chunk_cache
     # The warmed programs are the ones a real stream uses: no new cache
     # entries appear when streaming an in-bucket sentence.
-    n_chunk, n_prep = len(eng._fused_chunk_cache), len(eng._prepare_cache)
+    n_chunk = len(eng._fused_chunk_cache)
     tokens = [CONFIG.text_bos_id, 1, 2, 3, CONFIG.text_eos_id]
     list(streaming.stream_sentence(eng, codec_engine, tokens, params))
     assert len(eng._fused_chunk_cache) == n_chunk
-    assert len(eng._prepare_cache) == n_prep
 
 
 def test_split_sentences():
