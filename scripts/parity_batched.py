@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=("float32", "bfloat16"))
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--temp", type=float, default=0.0,
+                    help="sampling temperature for the parity check (0 = "
+                         "greedy; >0 exercises the in-kernel draw, still "
+                         "expected IDENTICAL at f32 via the shared "
+                         "deterministic sampling core)")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +85,7 @@ def main():
 
     if not args.skip_parity:
         inp = make_inputs(0)
-        zero = jnp.float32(0.0)
+        zero = jnp.float32(args.temp)
         fused_fn = build(True, True)
         c_f, n_f = fused_fn(weights, *inp, zero)
         c_f, n_f = np.asarray(c_f), np.asarray(n_f)
@@ -103,8 +108,9 @@ def main():
                 print(f"slot {b}: MISMATCH n_f={n_f[b]} n_x={n_x[b]} "
                       f"first_bad={bad[:3].tolist()}")
                 ok = False
+        mode = "greedy" if args.temp < 0.01 else f"temp={args.temp}"
         print(f"parity: {'IDENTICAL' if ok else 'FAILED'} over {B} slots x "
-              f"{int(n_x.min())}+ greedy frames")
+              f"{int(n_x.min())}+ {mode} frames")
         if not ok:
             sys.exit(1)
 

@@ -595,12 +595,15 @@ def test_batched_decoder_step_matches_vmapped_masked(rng):
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=2e-4)
 
 
-def test_decode_loop_fused_matches_xla_greedy(rng, monkeypatch):
+@pytest.mark.parametrize("temp_v", [0.0, 0.7])
+def test_decode_loop_fused_matches_xla_greedy(rng, monkeypatch, temp_v):
     """Loop-LEVEL parity: decode_loop with the fused frame kernel (interpret)
-    produces the same greedy codes/frame count as the pure-XLA loop. The
-    fused branch carries its own EOS/codes/frame_idx glue inside the
-    while_loop body (models/magpie.py), which step-level tests don't cover —
-    this pins it on CPU (on-TPU analog: scripts/parity_decode.py)."""
+    produces the same codes/frame count as the pure-XLA loop — greedy AND
+    temp>0 (both paths share ops/sampling.py's deterministic draw, so equal
+    f32 logits must give equal sampled codes). The fused branch carries its
+    own EOS/codes/frame_idx glue inside the while_loop body
+    (models/magpie.py), which step-level tests don't cover — this pins it on
+    CPU (on-TPU analog: scripts/parity_decode.py)."""
     import functools
 
     from magpie_tts_tpu.models import magpie as magpie_mod
@@ -613,7 +616,7 @@ def test_decode_loop_fused_matches_xla_greedy(rng, monkeypatch):
                          jnp.int32)
     xa_k, xa_v, state = magpie_mod.prepare(tokens, enc_len, jnp.int32(0), w, c)
     key = jax.random.PRNGKey(5)
-    temp = jnp.float32(0.0)
+    temp = jnp.float32(temp_v)
 
     monkeypatch.setattr(
         fs_mod, "frame_step_pallas",
@@ -634,11 +637,14 @@ def test_decode_loop_fused_matches_xla_greedy(rng, monkeypatch):
                                   np.asarray(out_xla.codes[:nf_x]))
 
 
-def test_batched_program_fused_matches_xla_greedy(rng, monkeypatch):
+@pytest.mark.parametrize("temp_v", [0.0, 0.7])
+def test_batched_program_fused_matches_xla_greedy(rng, monkeypatch, temp_v):
     """Loop-LEVEL batched parity on CPU: synthesize_codes_batched_program with
-    the fused batched frame kernel (interpret) == the pure-XLA lockstep loop
-    at temp=0. Pins the fused branch's own EOS/codes/frame_idx glue in the
-    batched while_loop body (on-TPU analog: scripts/parity_batched.py)."""
+    the fused batched frame kernel (interpret) == the pure-XLA lockstep loop,
+    greedy AND temp>0 (shared deterministic draw => equal codes from equal
+    f32 logits; also pins the pl.when-gated draw region). Pins the fused
+    branch's own EOS/codes/frame_idx glue in the batched while_loop body
+    (on-TPU analog: scripts/parity_batched.py)."""
     import functools
 
     from magpie_tts_tpu.models import magpie as magpie_mod
@@ -653,7 +659,7 @@ def test_batched_program_fused_matches_xla_greedy(rng, monkeypatch):
     enc_lens = jnp.asarray(rng.integers(4, 9, size=(B,)), jnp.int32)
     spk = jnp.zeros((B,), jnp.int32)
     keys = jax.random.split(jax.random.PRNGKey(5), B)
-    temp = jnp.float32(0.0)
+    temp = jnp.float32(temp_v)
 
     codes_x, nf_x = magpie_mod.synthesize_codes_batched_program(
         tokens, enc_lens, spk, keys, temp, w, c, top_k=8, max_steps=6,
