@@ -89,9 +89,45 @@ def exact_topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     keys = jnp.where(bits >= 0, bits, jnp.int32(-2147483648) - bits)
     lo = jnp.min(keys, axis=-1, keepdims=True)        # count(>= lo) == n >= k
     hi = jnp.max(keys, axis=-1, keepdims=True) + 1    # count(>= hi) == 0 < k
+    if os.environ.get("MAGPIE_TOPK_KARY") == "1":     # probe knob (see below)
+        return _kary_topk_mask(keys, lo, hi, k)
     iters = int(os.environ.get("MAGPIE_TOPK_ITERS", "32"))  # probe knob only
     for _ in range(iters):
         # Overflow-safe midpoint (lo/hi may straddle the int32 range).
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        cnt = jnp.sum((keys >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        ok = cnt >= k
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+    return keys >= lo
+
+
+def _kary_topk_mask(keys: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                    k: int) -> jnp.ndarray:
+    """16-ary variant of the threshold search (same exact result, fewer
+    sequential passes): 1 binary pass (makes hi-lo overflow-safe), 7 passes
+    probing 15 midpoints at once (span /16 each), then 5 binary passes to
+    close the <=31-wide residue the floored step leaves. 13 reduction passes
+    total vs 32 — wins iff the per-pass cost is latency- not
+    throughput-bound; measured on v5e it is NOT (see docs/KERNELS.md), so
+    this stays a probe knob."""
+    mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+    cnt = jnp.sum((keys >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+    ok = cnt >= k
+    lo = jnp.where(ok, mid, lo)
+    hi = jnp.where(ok, hi, mid)
+    js = jnp.arange(1, 16, dtype=jnp.int32)           # [15]
+    for _ in range(7):
+        step = (hi - lo) >> 4                         # safe: hi-lo < 2^31
+        mids = lo[..., None] + step[..., None] * js   # [..., 1, 15]
+        cnts = jnp.sum((keys[..., :, None] >= mids).astype(jnp.int32),
+                       axis=-2)                       # [..., 15]
+        # counts are non-increasing in j; n_ok = #mids with count >= k.
+        n_ok = jnp.sum((cnts >= k).astype(jnp.int32), axis=-1, keepdims=True)
+        new_lo = lo + step * n_ok
+        hi = jnp.where(n_ok < 15, lo + step * (n_ok + 1), hi)
+        lo = new_lo
+    for _ in range(5):
         mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
         cnt = jnp.sum((keys >= mid).astype(jnp.int32), axis=-1, keepdims=True)
         ok = cnt >= k
