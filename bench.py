@@ -11,7 +11,9 @@ vs_baseline is relative to the reference C++ engine's published 154 fps
 graph-reuse number on RTX 4080 (reference README.md:74-81).
 
 Env knobs: BENCH_FRAMES (default 300), BENCH_DTYPE (float32|bfloat16, default
-bfloat16), BENCH_BATCH (extra batched-throughput measurement, default 16).
+bfloat16), BENCH_BATCH (extra batched-throughput measurement, default 64 — the
+measured aggregate-throughput knee on v5e; 32 trades ~20% aggregate fps for
+~1.6x lower per-request latency, see docs/KERNELS.md "Batch-size scaling").
 """
 
 import dataclasses
@@ -35,7 +37,7 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     codec_pallas = os.environ.get("BENCH_CODEC_PALLAS")
     codec_pallas = None if codec_pallas is None else codec_pallas == "1"

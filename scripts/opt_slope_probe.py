@@ -36,7 +36,7 @@ from magpie_tts_tpu.ops import sampling
 
 N_LO, N_HI = 50, 450
 REPS = 5
-B = 32
+B = int(os.environ.get("MAGPIE_PROBE_B", "32"))   # slots; must be % MAGPIE_GB
 DT = jnp.bfloat16
 
 
