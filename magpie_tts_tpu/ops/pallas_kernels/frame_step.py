@@ -61,7 +61,7 @@ def _kernel(hidden_ref, posemb_ref,
             n_cb: int, lt_dim: int, vocab: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int,
             n_layers: int, d_model: int, n_heads: int, d_xa: int,
-            max_seq: int, enc_pad: int, eps: float):
+            max_seq: int, enc_pad: int, eps: float, cache_chunk: int):
     i = pl.program_id(0)
     pos = scal_ref[0]
     enc_len = scal_ref[1]
@@ -70,13 +70,40 @@ def _kernel(hidden_ref, posemb_ref,
     def dma(src, dst, sem_idx):
         return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
 
+    def cache_io(layer, op):
+        """Start or wait this layer's K/V cache copies.
+
+        Chunked mode streams only ceil((pos+1)/cache_chunk) chunks
+        (scal_ref[2]) — cache DMA bytes are position-proportional, mirroring
+        frame_step_batched. Rows past the streamed extent are the prologue's
+        zeros; attention masks them (row <= pos) so their contribution is an
+        exact 0 either way — bit-identical to full streaming. The 16-row
+        write-back window [base, base+16) always lies inside the extent
+        (extent is a multiple of 160 >= pos+1 >= base+1, and multiples of
+        160 are multiples of 16)."""
+        if cache_chunk:
+            n_ch = scal_ref[2]
+            for j in range(max_seq // cache_chunk):
+                @pl.when(j < n_ch)
+                def _io(j=j):
+                    sl = pl.ds(j * cache_chunk, cache_chunk)
+                    getattr(dma(kc_hbm.at[layer, sl], kbuf.at[sl], 1), op)()
+                    getattr(dma(vc_hbm.at[layer, sl], vbuf.at[sl], 2), op)()
+        else:
+            getattr(dma(kc_hbm.at[layer], kbuf, 1), op)()
+            getattr(dma(vc_hbm.at[layer], vbuf, 2), op)()
+
     # ---- prologue: start decoder layer-0 streaming under the LT phases ----
     @pl.when(i == 0)
     def _prologue():
         emb_acc[...] = jnp.zeros_like(emb_acc)
+        if cache_chunk:
+            # Un-DMA'd rows must not hold NaN bit patterns (0 * NaN = NaN in
+            # the probs @ V contraction even though attention masks them).
+            kbuf[...] = jnp.zeros_like(kbuf)
+            vbuf[...] = jnp.zeros_like(vbuf)
         dma(qkv_hbm.at[0], qkv_buf, 0).start()
-        dma(kc_hbm.at[0], kbuf, 1).start()
-        dma(vc_hbm.at[0], vbuf, 2).start()
+        cache_io(0, "start")
         dma(sao_hbm.at[0], sao_buf, 3).start()
         dma(ffp_hbm.at[0], ffp_buf, 6).start()
         dma(ffo_hbm.at[0], ffo_buf, 7).start()
@@ -210,8 +237,7 @@ def _kernel(hidden_ref, posemb_ref,
         k_new = qkv[:, d_model:2 * d_model].astype(kbuf.dtype)
         v_new = qkv[:, 2 * d_model:].astype(vbuf.dtype)
 
-        dma(kc_hbm.at[l], kbuf, 1).wait()
-        dma(vc_hbm.at[l], vbuf, 2).wait()
+        cache_io(l, "wait")
         base = (pos // 16) * 16
         wrows = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) + base
         kwin = kbuf[pl.ds(base, 16), :]
@@ -293,8 +319,7 @@ def _kernel(hidden_ref, posemb_ref,
 
         @pl.when(l < n_layers - 1)
         def _prefetch_cache():
-            dma(kc_hbm.at[l + 1], kbuf, 1).start()
-            dma(vc_hbm.at[l + 1], vbuf, 2).start()
+            cache_io(l + 1, "start")
 
         @pl.when(l == n_layers - 1)
         def _emit():
@@ -348,7 +373,20 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
         dec.pos_emb.astype(jnp.float32), pos, 1, 0)  # [1, D]
     norms = jnp.stack([dec.norm_self, dec.norm_xa_q, dec.norm_ff],
                       axis=1).astype(jnp.float32)
-    scal = jnp.stack([pos.astype(jnp.int32), enc_length.astype(jnp.int32)])
+    # Position-proportional cache streaming (see cache_io in the kernel) is a
+    # measured NEGATIVE for the single-stream kernel (same-session slope A/B:
+    # chunked 279.9/291.1 vs full 282.6/281.6 us at pos 150/450): unlike the
+    # batched kernel, this kernel's cache DMA is already fully hidden under
+    # compute, and the 4 predicated chunk issues cost ~10 us at late
+    # positions. Kept as a probe knob (MAGPIE_SS_CHUNK=1), default off.
+    import os
+    cache_chunk = 160 if (S % 160 == 0
+                          and os.environ.get("MAGPIE_SS_CHUNK", "0") == "1"
+                          ) else 0
+    n_chunks = ((pos.astype(jnp.int32) + cache_chunk) // cache_chunk
+                if cache_chunk else jnp.int32(0))
+    scal = jnp.stack([pos.astype(jnp.int32), enc_length.astype(jnp.int32),
+                      n_chunks])
     temp_arr = temperature.astype(jnp.float32).reshape(1)
     flags = jnp.stack([forbid_eos.astype(jnp.int32), seed.astype(jnp.int32)])
     lt_pos = jnp.zeros((_SEQ, c.lt_dim), dtype).at[: c.lt_max_pos].set(
@@ -361,7 +399,8 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
         _kernel, n_cb=n_cb, lt_dim=c.lt_dim, vocab=c.vocab_per_cb,
         top_k=top_k, audio_bos_id=c.audio_bos_id, audio_eos_id=c.audio_eos_id,
         n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
-        d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps)
+        d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps,
+        cache_chunk=cache_chunk)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(

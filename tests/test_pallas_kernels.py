@@ -347,13 +347,23 @@ def test_prod_decode_step_interpret(rng, prod):
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
 
 
-def test_prod_frame_step_interpret(rng, prod):
+@pytest.mark.parametrize("pos_off,chunked", [(40, False), (40, True),
+                                             (50, True), (340, True)])
+def test_prod_frame_step_interpret(rng, prod, pos_off, chunked,
+                                   monkeypatch):
+    """chunked=True exercises the MAGPIE_SS_CHUNK probe knob (a measured
+    perf negative, default off — see frame_step.py): 40 -> 1 of 4 160-row
+    chunks, 50 -> pos 160 exactly at a chunk boundary (write window
+    [160,176) must lie inside the 2-chunk extent), 340 -> 3 chunks."""
     from magpie_tts_tpu.ops.pallas_kernels.decoder_step import decode_step_pallas
     from magpie_tts_tpu.ops.pallas_kernels.frame_step import frame_step_pallas
     from magpie_tts_tpu.models import magpie as magpie_mod
 
+    if chunked:
+        monkeypatch.setenv("MAGPIE_SS_CHUNK", "1")
     c, w = prod
     xa_k, xa_v, k_cache, v_cache, enc_len, pos = _prod_step_inputs(rng, c)
+    pos = jnp.int32(c.context_frames + pos_off)
     hidden = jnp.asarray(rng.normal(0, 0.5, size=(c.d_model,)).astype(np.float32))
 
     s_f, a_f, h_f, kc_f, vc_f = frame_step_pallas(
