@@ -57,6 +57,43 @@ def _fmix32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+_LN2 = 0.6931471805599453
+_SQRT2 = 1.4142135623730951
+
+
+def fast_log(x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial natural log for positive, finite, normal f32 inputs.
+
+    Mosaic/XLA lower ``jnp.log`` to a libm-grade routine; on the VPU that is
+    the dominant cost of the Gumbel transform (two log passes over
+    [B, vocab]). This is the same trade as the codec's ``_fast_sin``: a
+    plain mul/add/bit-op evaluation that every backend lowers identically,
+    so XLA and Pallas traces of the shared sampling core stay bit-identical
+    per backend.
+
+    Method: split ``x = 2^e * m`` with ``m`` centered into [1/sqrt2, sqrt2),
+    then the atanh series ``ln m = 2t(1 + t^2/3 + ... + t^8/9)`` with
+    ``t = (m-1)/(m+1)`` (|t| <= 0.1716; truncation < 1e-9 — below f32
+    resolution). No inf/nan/denormal handling: callers guarantee normal
+    positive inputs (the Gumbel uniforms are clipped to [1e-10, 1-1e-7]).
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    e = jax.lax.shift_right_logical(bits, 23) - jnp.int32(127)
+    m = jax.lax.bitcast_convert_type(
+        (bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000), jnp.float32)
+    big = m > _SQRT2
+    m = jnp.where(big, m * 0.5, m)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    p = jnp.float32(1.0 / 9.0)
+    p = p * t2 + jnp.float32(1.0 / 7.0)
+    p = p * t2 + jnp.float32(1.0 / 5.0)
+    p = p * t2 + jnp.float32(1.0 / 3.0)
+    p = p * t2 + jnp.float32(1.0)
+    return e * jnp.float32(_LN2) + (2.0 * t) * p
+
+
 def gumbel_from_seed(base_seed: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     """Counter-based Gumbel(0,1) noise: ``-log(-log(hash(seed, col)))``.
 
@@ -65,12 +102,17 @@ def gumbel_from_seed(base_seed: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     it runs identically under jit, in Pallas kernels, and in interpret mode,
     and per-row seeds give every batch slot its own independent stream (a
     request's draws depend only on its own key, not on batch composition).
+    ``MAGPIE_FAST_LOG=1`` swaps in the polynomial ``fast_log`` (~1 ulp of
+    libm over the clipped range) — measured NO faster on v5e (slope A/B:
+    batched B=32 754 vs 721 µs/step, single-stream 283.7 vs 282.5 — Mosaic's
+    log is not a hot spot), so libm stays the default; knob kept for probing.
     """
     h = _fmix32(base_seed + cols * jnp.int32(_GOLDEN))
     # Top 24 bits -> exact f32 uniform in [0, 1).
     u = jax.lax.shift_right_logical(h, 8).astype(jnp.float32) * (1.0 / (1 << 24))
     u = jnp.clip(u, 1e-10, 1.0 - 1e-7)
-    return -jnp.log(-jnp.log(u))
+    log = fast_log if os.environ.get("MAGPIE_FAST_LOG") == "1" else jnp.log
+    return -log(-log(u))
 
 
 def exact_topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -92,10 +134,23 @@ def exact_topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     if os.environ.get("MAGPIE_TOPK_KARY") == "1":     # probe knob (see below)
         return _kary_topk_mask(keys, lo, hi, k)
     iters = int(os.environ.get("MAGPIE_TOPK_ITERS", "32"))  # probe knob only
+    use_dot = os.environ.get("MAGPIE_TOPK_DOT") == "1"      # probe knob
+    if use_dot:
+        # Count via an MXU dot against ones instead of a VPU lane-reduction
+        # (counts <= vocab are exact in f32). [..., V] @ [V, 8] keeps the
+        # lane dim tile-friendly; column 0 is the count.
+        ones = jnp.ones((keys.shape[-1], 8), jnp.float32)
     for _ in range(iters):
         # Overflow-safe midpoint (lo/hi may straddle the int32 range).
         mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
-        cnt = jnp.sum((keys >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        if use_dot:
+            ge = (keys >= mid).astype(jnp.float32)
+            cnt = jax.lax.dot_general(
+                ge, ones, (((ge.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[..., :1].astype(jnp.int32)
+        else:
+            cnt = jnp.sum((keys >= mid).astype(jnp.int32), axis=-1,
+                          keepdims=True)
         ok = cnt >= k
         lo = jnp.where(ok, mid, lo)
         hi = jnp.where(ok, hi, mid)

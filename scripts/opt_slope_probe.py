@@ -33,6 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 from magpie_tts_tpu.config import MagpieConfig
 from magpie_tts_tpu.io.magpie_weights import random_magpie_weights
 from magpie_tts_tpu.ops import sampling
+from magpie_tts_tpu.runtime.platform import enable_compilation_cache
+
+# Only compile time is cached — the timed quantity is execution (slope), so
+# the persistent cache cannot affect measurements, only probe turnaround.
+enable_compilation_cache()
 
 N_LO, N_HI = 50, 450
 REPS = 5

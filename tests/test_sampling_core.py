@@ -84,6 +84,35 @@ def test_deterministic_sampler_distribution(rng):
     np.testing.assert_allclose(freq, probs, atol=0.03)
 
 
+def test_topk_dot_count_variant_exact(rng, monkeypatch):
+    """The MXU dot-count probe variant (MAGPIE_TOPK_DOT=1) admits exactly the
+    same set as the lane-reduction default."""
+    logits = rng.normal(0, 3, size=(64, PROD_VOCAB)).astype(np.float32)
+    logits[::3] = np.round(logits[::3], 1)  # tie-heavy rows
+    for k in (1, 80, 500):
+        base = np.asarray(sampling.exact_topk_mask(jnp.asarray(logits), k))
+        monkeypatch.setenv("MAGPIE_TOPK_DOT", "1")
+        dot = np.asarray(sampling.exact_topk_mask(jnp.asarray(logits), k))
+        monkeypatch.delenv("MAGPIE_TOPK_DOT")
+        np.testing.assert_array_equal(base, dot)
+
+
+def test_fast_log_accuracy(rng):
+    """``fast_log`` matches float64 log to ~1 ulp over both Gumbel log
+    argument ranges: the clipped uniforms [1e-10, 1-1e-7] and the inner-log
+    outputs [1e-7, 23.03]."""
+    u = np.clip(rng.random(200_000).astype(np.float32), 1e-10, 1 - 1e-7)
+    edge = np.array([1e-10, 1e-7, 1e-3, 0.5, 1 - 1e-7, 1.0, 2.0, 23.03],
+                    np.float32)
+    for x in (u, edge, -np.log(u).astype(np.float32)):
+        got = np.asarray(sampling.fast_log(jnp.asarray(x)), np.float64)
+        ref = np.log(x.astype(np.float64))
+        # absolute error bounded by ~2 ulp of the largest output magnitude
+        assert np.abs(got - ref).max() < 3e-6
+        rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-12)
+        assert rel.max() < 1e-6
+
+
 def test_gumbel_per_slot_isolation():
     """gumbel_from_seed: one slot's noise is independent of the others'."""
     cols = jnp.arange(PROD_VOCAB, dtype=jnp.int32)[None, :]
