@@ -93,14 +93,20 @@ class MagpieTokenizer:
         for word in spaced.split(" "):
             if not word:
                 continue
-            if len(word) == 1 and word in self.token_to_id:
+            # Byte semantics throughout, exactly as the reference (which operates
+            # on std::string bytes, magpie.cpp:437-477): the single-char fast path
+            # requires a single BYTE (a multi-byte IPA char typed directly does
+            # NOT hit it), and the OOV fallback walks bytes, so non-ASCII bytes
+            # (never a valid standalone UTF-8 vocab key) are dropped.
+            word_bytes = word.encode("utf-8")
+            if len(word_bytes) == 1 and word in self.token_to_id:
                 tokens.append(self.token_to_id[word])
             elif word in self.dict:
                 tokens.extend(self._match_ipa(self.dict[word]))
             else:
-                for c in word:
-                    upper = c.upper() if "a" <= c <= "z" else c
-                    tok_id = self.token_to_id.get(upper)
+                for b in word_bytes:
+                    upper = b - 0x20 if 0x61 <= b <= 0x7A else b
+                    tok_id = self._byte_vocab.get(bytes([upper]))
                     if tok_id is not None:
                         tokens.append(tok_id)
             tokens.append(self.space_id)

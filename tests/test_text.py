@@ -100,6 +100,115 @@ def test_tokenize_numbers_go_through_normalizer():
     assert ids == [2378, t, w, o, 2379]
 
 
+def _cpp_tokenize_oracle(tok, text):
+    """Transliteration of magpie_tokenize (reference src/magpie.cpp:404-495),
+    operating on UTF-8 bytes exactly as the C++ operates on std::string bytes.
+    Kept independent of the production tokenizer so fuzzing compares two
+    implementations of the same byte-level contract.
+    """
+    from magpie_tts_tpu.text.tokenizer import _ascii_lower
+
+    byte_vocab = {t.encode("utf-8"): i for i, t in enumerate(tok.vocab)}
+    byte_dict = {w.encode("utf-8"): p.encode("utf-8") for w, p in tok.dict.items()}
+
+    tokens = [tok.bos_id]
+    normalized = _ascii_lower(normalize_text(text)).encode("utf-8")
+    processed = bytearray()
+    for b in normalized:
+        if b in b",.!?:;":
+            processed += b" %c " % b
+        else:
+            processed.append(b)
+    for word in bytes(processed).split(b" "):
+        if not word:
+            continue
+        emitted = False
+        if len(word) == 1:  # word.size() == 1: BYTES, not chars
+            tid = byte_vocab.get(word)
+            if tid is not None:
+                tokens.append(tid)
+                emitted = True
+        if not emitted:
+            pron = byte_dict.get(word)
+            if pron is not None:
+                i = 0
+                while i < len(pron):
+                    found = False
+                    for ln in range(min(len(pron) - i, 4), 0, -1):
+                        tid = byte_vocab.get(pron[i:i + ln])
+                        if tid is not None:
+                            tokens.append(tid)
+                            i += ln
+                            found = True
+                            break
+                    if not found:
+                        i += 1
+            else:
+                for b in word:  # `for (char c : word)`: BYTES
+                    upper = b - 0x61 + 0x41 if 0x61 <= b <= 0x7A else b
+                    tid = byte_vocab.get(bytes([upper]))
+                    if tid is not None:
+                        tokens.append(tid)
+        if tok.space_id >= 0:
+            tokens.append(tok.space_id)
+    if tokens and tokens[-1] == tok.space_id:
+        tokens.pop()
+    tokens.append(tok.eos_id)
+    return tokens
+
+
+def test_tokenize_single_multibyte_char_is_not_a_vocab_hit():
+    # Reference checks word.size()==1 on BYTES (magpie.cpp:437): a multi-byte
+    # IPA char typed directly in the input must NOT hit its vocab token; its
+    # bytes fall through the OOV path and are dropped.
+    tok = _make_tokenizer()
+    assert "ɚ" in tok.token_to_id
+    assert tok.encode("ɚ") == [2378, 2379]
+    # ... and mixed into a word: only the ASCII bytes survive via OOV fallback.
+    a, b_ = 15, 16  # 'A', 'B' char-fallback ids
+    assert tok.encode("aɚb") == [2378, a, b_, 2379]
+
+
+def test_tokenize_fuzz_matches_cpp_byte_oracle():
+    tok = _make_tokenizer()
+    corpus = [
+        "Hello, world!",
+        "hello world hello world",
+        "ɚ", "oʊ", "ˈˌ", "həˈloʊ",          # raw IPA typed directly
+        "aɚb zyx ˈwɚld",
+        "The 23rd of May, 2024: $50 off (50%)!",
+        "naïve café jalapeño",               # latin-1 accents (multi-byte)
+        "日本語テキスト",                      # CJK
+        "emoji 🎤 test",
+        "MiXeD CaSe WoRdS",
+        "punct...!!??;;::,,",
+        "  leading and   trailing   spaces  ",
+        "word-with-hyphens and_underscores",
+        "1234567890 -42 $1 100% 1984 2099",
+        "\t tabs\tand\nnewlines \n",
+        "ß ÿ Ø æ",                            # chars whose bytes overlap ASCII-ish ranges
+        "a", "z", ".", "",
+        "x" * 300,
+    ]
+    for text in corpus:
+        assert tok.encode(text) == _cpp_tokenize_oracle(tok, text), repr(text)
+
+
+def test_tokenize_fuzz_random_byte_soup():
+    # Random printable + multi-byte soup; oracle equality on every sample.
+    import random
+
+    rnd = random.Random(0xC0FFEE)
+    alphabet = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + ["ə", "ɚ", "oʊ", "ˈ", "ˌ", "é", "日", "🎤", "ß"]
+    )
+    tok = _make_tokenizer()
+    for _ in range(200):
+        text = "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 40)))
+        assert tok.encode(text) == _cpp_tokenize_oracle(tok, text), repr(text)
+
+
 def test_tokenizer_from_gguf_metadata():
     vocab = "a\nb\n \nx"
     kv = {
