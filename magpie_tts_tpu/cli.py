@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the fused per-frame megakernel (LT sampling + "
                         "decoder step in one pallas call); runs the separate "
                         "kernels instead. Equivalent env var: MAGPIE_NO_FUSED")
+    p.add_argument("--gelu", choices=("erf", "tanh"), default=None,
+                   help="GELU flavor for every FFN: 'erf' (NeMo-exact, the "
+                        "default) or 'tanh' (the ggml approximation the "
+                        "reference C++ engine computes) — use 'tanh' for "
+                        "A/B parity runs against reference C++ dumps")
     p.add_argument("-q", "--quiet", action="store_true",
                    help="only print the output filename")
     return p
@@ -56,6 +61,8 @@ def build_serve_parser() -> argparse.ArgumentParser:
     p.add_argument("--temp", type=float, default=0.7)
     p.add_argument("--top-k", type=int, default=80)
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="bfloat16")
+    p.add_argument("--gelu", choices=("erf", "tanh"), default=None,
+                   help="GELU flavor for every FFN (see `magpie-tts --help`)")
     p.add_argument("-q", "--quiet", action="store_true")
     return p
 
@@ -99,6 +106,10 @@ def serve(argv) -> int:
     try:
         reader = open_gguf(args.model)
         config, weights = load_magpie_weights(args.model, reader=reader)
+        if args.gelu is not None:
+            import dataclasses
+
+            config = dataclasses.replace(config, gelu_flavor=args.gelu)
         tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
         codec_config, codec_weights = load_codec_weights(args.codec)
     except FileNotFoundError as e:
@@ -226,7 +237,8 @@ def main(argv=None) -> int:
         pipeline = MagpiePipeline.from_gguf(
             args.model, args.codec, compute_dtype=dtype,
             serve_int8=args.serve_int8,
-            use_fused=False if args.no_fused else None)
+            use_fused=False if args.no_fused else None,
+            gelu_flavor=args.gelu)
     except FileNotFoundError as e:
         # Reference behavior: clear stderr line + exit 1 (magpie-tts.cpp:140)
         print(f"error: model file not found: {e.filename or e}", file=sys.stderr)

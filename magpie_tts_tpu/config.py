@@ -58,6 +58,14 @@ class MagpieConfig:
     context_eos_id: int = 2019
     mask_token_id: int = 2020
 
+    # GELU flavor for every conv-FFN in the model: "erf" (exact, what the NeMo
+    # checkpoint was trained/validated with) or "tanh" (the ggml approximation
+    # the reference C++ engine computes, src/magpie.cpp:1791-1805 via ggml_gelu).
+    # One flag flips every FFN in every path — XLA oracle, all Pallas kernels,
+    # and the torch test oracle — so A/B parity runs against a C++ dump are a
+    # config switch, not a source edit. CLI: --gelu {erf,tanh}.
+    gelu_flavor: str = "erf"
+
     # Inference
     max_dec_steps: int = 500
     min_generated_frames: int = 4  # EOS forbidden before this (magpie.cpp:2687)
@@ -66,6 +74,16 @@ class MagpieConfig:
 
     # Position-embedding tables in the checkpoint are [4096, d_model]
     max_pos: int = 4096
+
+    def __post_init__(self):
+        if self.gelu_flavor not in ("erf", "tanh"):
+            raise ValueError(
+                f"gelu_flavor must be 'erf' or 'tanh', got {self.gelu_flavor!r}")
+
+    @property
+    def gelu_tanh(self) -> bool:
+        """True when every FFN should use the ggml tanh GELU approximation."""
+        return self.gelu_flavor == "tanh"
 
     @property
     def d_xa(self) -> int:

@@ -58,7 +58,7 @@ def _layer_full(x, enc_out, lw, config: MagpieConfig, enc_length):
                             enc_length=enc_length)
 
     h = layer_norm(x, norm_ff, config.eps)
-    x = x + conv_ffn(h, ff_proj, ff_out)
+    x = x + conv_ffn(h, ff_proj, ff_out, gelu_tanh=config.gelu_tanh)
     return x
 
 
@@ -127,7 +127,7 @@ def prefill(context: jnp.ndarray, xa_k: jnp.ndarray, xa_v: jnp.ndarray,
                                 enc_length=enc_length)
 
         h = layer_norm(x, norm_ff, config.eps)
-        x = x + conv_ffn(h, ff_proj, ff_out)
+        x = x + conv_ffn(h, ff_proj, ff_out, gelu_tanh=config.gelu_tanh)
         return x, (k_new, v_new)
 
     _, (k_all, v_all) = jax.lax.scan(body, x, lw)
@@ -221,6 +221,7 @@ def decode_step_masked(x: jnp.ndarray, logical_pos: jnp.ndarray,
 
         h = layer_norm(xf, dec.norm_ff[l], config.eps).astype(wdt)
         xf = xf + conv_ffn_step(h, dec.ff_proj[l], dec.ff_out[l],
+                                gelu_tanh=config.gelu_tanh,
                                 out_dtype=jnp.float32)
 
     return (layer_norm(xf, dec.norm_out, config.eps).astype(wdt),

@@ -26,7 +26,7 @@ def encoder_layer(x: jnp.ndarray, lw, config: MagpieConfig) -> jnp.ndarray:
     h = layer_norm(x, norm_self, config.eps)
     x = x + mha_full(h, qkv, sa_out, config.enc_heads, causal=True)
     h = layer_norm(x, norm_ff, config.eps)
-    x = x + conv_ffn(h, ff_proj, ff_out)
+    x = x + conv_ffn(h, ff_proj, ff_out, gelu_tanh=config.gelu_tanh)
     return x
 
 

@@ -39,7 +39,7 @@ def lt_layer(seq: jnp.ndarray, lt: LocalTransformerWeights,
     h = layer_norm(seq, lt.norm_self, config.eps)
     seq = seq + mha_full(h, lt.qkv, lt.sa_out, config.lt_heads, causal=True)
     h = layer_norm(seq, lt.norm_ff, config.eps)
-    seq = seq + conv_ffn(h, lt.ff_proj, lt.ff_out)
+    seq = seq + conv_ffn(h, lt.ff_proj, lt.ff_out, gelu_tanh=config.gelu_tanh)
     return seq
 
 
@@ -93,7 +93,7 @@ def _lt_layer_f32(seq_buf: jnp.ndarray, lt: LocalTransformerWeights,
     h2 = layer_norm(x, lt.norm_ff, config.eps).astype(wdt)
     ff = jnp.dot(h2, lt.ff_proj, preferred_element_type=jnp.float32,
                  precision=DOT_PRECISION)
-    ff = gelu(ff).astype(wdt)
+    ff = gelu(ff, approximate=config.gelu_tanh).astype(wdt)
     x = x + jnp.dot(ff, lt.ff_out, preferred_element_type=jnp.float32,
                     precision=DOT_PRECISION)
     return x  # float32 [_MAX_SEQ, lt_dim]

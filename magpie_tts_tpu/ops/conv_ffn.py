@@ -25,9 +25,20 @@ from .precision import DOT_PRECISION
 
 
 def gelu(x: jnp.ndarray, approximate: bool = False) -> jnp.ndarray:
-    """GELU with float32 internal math, rounded back to the input dtype."""
+    """GELU with float32 internal math, rounded back to the input dtype.
+
+    The tanh branch spells out the ggml formula (reference src/magpie.cpp:1791
+    via ggml_gelu; same analytic form as jax.nn.gelu(approximate=True)) with
+    the exact op order of ops/pallas_kernels/common.gelu_kernel so the XLA
+    oracle and the Pallas kernels stay bit-identical at f32 under either
+    flavor.
+    """
     xf = x.astype(jnp.float32)
-    return jax.nn.gelu(xf, approximate=approximate).astype(x.dtype)
+    if approximate:
+        c = 0.7978845608028654  # sqrt(2/pi)
+        inner = c * (xf + 0.044715 * xf * xf * xf)
+        return (0.5 * xf * (1.0 + jnp.tanh(inner))).astype(x.dtype)
+    return jax.nn.gelu(xf, approximate=False).astype(x.dtype)
 
 
 def conv1d_causal_shifted(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

@@ -241,12 +241,14 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
 
     from .common import gelu_kernel
 
+    gelu_tanh = c.gelu_tanh
+
     def gelu_fn(v):
-        return gelu_kernel(v, approximate=False)
+        return gelu_kernel(v, approximate=gelu_tanh)
 
     kernel = functools.partial(
         _kernel, n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
-        d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps, gelu_tanh=False,
+        d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps, gelu_tanh=gelu_tanh,
         gelu_fn=gelu_fn)
 
     grid = (c.dec_layers,)

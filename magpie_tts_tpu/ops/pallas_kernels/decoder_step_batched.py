@@ -61,7 +61,8 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
             x_ref, attn_ref, qkv_sc, sao_buf, ffp_buf, ffo_buf,
             kbufs, vbufs, sems, *,
             n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
-            d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int):
+            d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int,
+            gelu_tanh: bool = False):
     l = pl.program_id(0)
     pos = scal_ref[0]
     d_head = d_model // n_heads
@@ -248,7 +249,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     def _prefetch_ffp():
         dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
 
-    f = gelu_kernel(f, approximate=False).astype(wdt)
+    f = gelu_kernel(f, approximate=gelu_tanh).astype(wdt)
     dma(ffo_hbm.at[l], ffo_buf, 7).wait()
     x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
              * ffo_s_ref[0].astype(jnp.float32))
@@ -320,7 +321,7 @@ def decode_step_batched_pallas(
     kernel = functools.partial(
         _kernel, n_layers=c.dec_layers, n_batch=B, gb=gb, d_model=D,
         n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps,
-        s_half=s_half)
+        s_half=s_half, gelu_tanh=c.gelu_tanh)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda l: tuple(0 for _ in blk))
     per_l = lambda *blk: pl.BlockSpec(

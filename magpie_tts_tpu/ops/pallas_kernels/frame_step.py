@@ -61,7 +61,8 @@ def _kernel(hidden_ref, posemb_ref,
             n_cb: int, lt_dim: int, vocab: int, top_k: int,
             audio_bos_id: int, audio_eos_id: int,
             n_layers: int, d_model: int, n_heads: int, d_xa: int,
-            max_seq: int, enc_pad: int, eps: float, cache_chunk: int):
+            max_seq: int, enc_pad: int, eps: float, cache_chunk: int,
+            gelu_tanh: bool = False):
     i = pl.program_id(0)
     pos = scal_ref[0]
     enc_len = scal_ref[1]
@@ -142,7 +143,7 @@ def _kernel(hidden_ref, posemb_ref,
         x = x + dot_hi(attn.astype(seq_ref.dtype), lt_sao_ref[...])
         h2 = _ln(x, lt_nf_ref[0, :], eps).astype(seq_ref.dtype)
         ff = dot_hi(h2, lt_ffp_ref[...])
-        ff = gelu_kernel(ff, approximate=False).astype(seq_ref.dtype)
+        ff = gelu_kernel(ff, approximate=gelu_tanh).astype(seq_ref.dtype)
         x = x + dot_hi(ff, lt_ffo_ref[...])
 
         row_mask = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == cb
@@ -303,7 +304,7 @@ def _kernel(hidden_ref, posemb_ref,
         def _prefetch_ffp():
             dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
 
-        f = gelu_kernel(f, approximate=False).astype(wdt)
+        f = gelu_kernel(f, approximate=gelu_tanh).astype(wdt)
         dma(ffo_hbm.at[l], ffo_buf, 7).wait()
         x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
                  * ffo_s_ref[0].astype(jnp.float32))
@@ -400,7 +401,7 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
         top_k=top_k, audio_bos_id=c.audio_bos_id, audio_eos_id=c.audio_eos_id,
         n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
         d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps,
-        cache_chunk=cache_chunk)
+        cache_chunk=cache_chunk, gelu_tanh=c.gelu_tanh)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(

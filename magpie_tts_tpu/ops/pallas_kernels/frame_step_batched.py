@@ -90,7 +90,7 @@ def _kernel(hidden_ref, posemb_ref,
             audio_bos_id: int, audio_eos_id: int,
             n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
             d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int,
-            cache_chunk: int):
+            cache_chunk: int, gelu_tanh: bool = False):
     i = pl.program_id(0)
     pos = scal_ref[0]
     B = n_batch
@@ -243,7 +243,7 @@ def _kernel(hidden_ref, posemb_ref,
         x1 = x + dot_hi(attn.astype(wdt), lt_sao_ref[...])
         h2 = _ln(x1, lt_nf_ref[0, :], eps).astype(wdt)
         ff = dot_hi(h2, lt_ffp_ref[...])
-        ff = gelu_kernel(ff, approximate=False).astype(wdt)
+        ff = gelu_kernel(ff, approximate=gelu_tanh).astype(wdt)
         x2 = x1 + dot_hi(ff, lt_ffo_ref[...])
 
         logits = dot_hi(x2.astype(wdt), lt_ow_ref[0])                # [B, vocab]
@@ -480,7 +480,7 @@ def _kernel(hidden_ref, posemb_ref,
             def _prefetch_ffp():
                 dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
 
-            f = gelu_kernel(f, approximate=False).astype(wdt)
+            f = gelu_kernel(f, approximate=gelu_tanh).astype(wdt)
             dma(ffo_hbm.at[l], ffo_buf, 7).wait()
             x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
                      * ffo_s_ref[0].astype(jnp.float32))
@@ -586,7 +586,8 @@ def frame_step_batched_pallas(
         vocab_pad=vocab_pad, top_k=top_k, audio_bos_id=c.audio_bos_id,
         audio_eos_id=c.audio_eos_id, n_layers=c.dec_layers, n_batch=B, gb=gb,
         d_model=D, n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E,
-        eps=c.eps, s_half=s_half, cache_chunk=cache_chunk)
+        eps=c.eps, s_half=s_half, cache_chunk=cache_chunk,
+        gelu_tanh=c.gelu_tanh)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(

@@ -174,14 +174,17 @@ def _pad_rows_to_16(table: jnp.ndarray) -> jnp.ndarray:
 def sample_frame_codes_pallas(hidden: jnp.ndarray, weights, config,
                               seed: jnp.ndarray, temperature: jnp.ndarray,
                               top_k: int, forbid_eos: jnp.ndarray,
-                              gelu_tanh: bool = False,
+                              gelu_tanh: bool = None,
                               interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """hidden: [d_model] -> (sampled [8], argmax [8]) int32.
 
     ``seed``: int32 scalar; fold the frame index in before calling.
+    ``gelu_tanh`` defaults to the config's gelu_flavor.
     """
     lt = weights.lt
     c = config
+    if gelu_tanh is None:
+        gelu_tanh = c.gelu_tanh
     dtype = hidden.dtype
     top_k = min(top_k, c.vocab_per_cb)
 

@@ -259,15 +259,18 @@ def batched_shapes_ok(n_batch: int) -> bool:
 def sample_frame_codes_batched_pallas(
         hidden: jnp.ndarray, weights, config,
         seeds: jnp.ndarray, temperature: jnp.ndarray, top_k: int,
-        forbid_eos: jnp.ndarray, gelu_tanh: bool = False,
+        forbid_eos: jnp.ndarray, gelu_tanh: bool = None,
         interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """hidden: [B, d_model], forbid_eos: [B] bool -> (sampled, argmax) [B, 8].
 
     ``seeds``: int32 [B] per-slot seeds (sampling.seed_from_key of each slot's
     per-frame subkey); every slot's draws are a pure function of its own seed.
+    ``gelu_tanh`` defaults to the config's gelu_flavor.
     """
     lt = weights.lt
     c = config
+    if gelu_tanh is None:
+        gelu_tanh = c.gelu_tanh
     B = hidden.shape[0]
     dtype = hidden.dtype
     top_k = min(top_k, c.vocab_per_cb)

@@ -29,11 +29,17 @@ class MagpiePipeline:
     def from_gguf(cls, model_path: str, codec_path: Optional[str] = None,
                   compute_dtype=jnp.float32,
                   serve_int8: bool = False,
-                  use_fused: Optional[bool] = None) -> "MagpiePipeline":
+                  use_fused: Optional[bool] = None,
+                  gelu_flavor: Optional[str] = None) -> "MagpiePipeline":
+        """``gelu_flavor``: "erf" (NeMo-exact, default) or "tanh" (the ggml
+        approximation the reference C++ engine computes) — flips every FFN in
+        every compiled path; None keeps the GGUF-metadata/config default."""
         from .io.native import open_gguf
 
         reader = open_gguf(model_path)
         config, weights = load_magpie_weights(model_path, reader=reader)
+        if gelu_flavor is not None:
+            config = dataclasses.replace(config, gelu_flavor=gelu_flavor)
         tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
         engine = MagpieEngine(weights, config, compute_dtype=compute_dtype,
                               serve_int8=serve_int8, use_fused=use_fused,

@@ -62,12 +62,18 @@ def mha(x: torch.Tensor, qkv_w: torch.Tensor, out_w: torch.Tensor,
     return torch.cat(outs, dim=-1) @ out_w.T
 
 
-def conv_ffn(x: torch.Tensor, proj_w: torch.Tensor, out_w: torch.Tensor) -> torch.Tensor:
+def _gelu_mode(config) -> str:
+    """torch F.gelu approximate= string for the config's gelu_flavor."""
+    return "tanh" if getattr(config, "gelu_flavor", "erf") == "tanh" else "none"
+
+
+def conv_ffn(x: torch.Tensor, proj_w: torch.Tensor, out_w: torch.Tensor,
+             gelu_approximate: str = "none") -> torch.Tensor:
     """Causal Conv1d -> GELU -> causal Conv1d. x: [T, d]; weights torch [out, in, k]."""
     k = proj_w.shape[-1]
     xc = x.T.unsqueeze(0)  # [1, d, T]
     h = F.conv1d(F.pad(xc, (k - 1, 0)), proj_w)
-    h = F.gelu(h)
+    h = F.gelu(h, approximate=gelu_approximate)
     k2 = out_w.shape[-1]
     out = F.conv1d(F.pad(h, (k2 - 1, 0)), out_w)
     return out.squeeze(0).T
@@ -102,7 +108,7 @@ def run_encoder(tokens: np.ndarray, weights, config) -> torch.Tensor:
         # JAX stores conv-ffn as [k, in, out]; torch conv1d wants [out, in, k].
         proj_w = torch.from_numpy(np.transpose(np.asarray(enc.ff_proj[l]), (2, 1, 0)).copy()).float()
         out_w = torch.from_numpy(np.transpose(np.asarray(enc.ff_out[l]), (2, 1, 0)).copy()).float()
-        x = x + conv_ffn(h, proj_w, out_w)
+        x = x + conv_ffn(h, proj_w, out_w, gelu_approximate=_gelu_mode(config))
     return layer_norm(x, _a(enc.norm_out), config.eps)
 
 
@@ -124,7 +130,7 @@ def run_decoder_full(dec_input: torch.Tensor, enc_out: torch.Tensor,
         h = layer_norm(x, _a(dec.norm_ff[l]), config.eps)
         proj_w = _t(dec.ff_proj[l]).unsqueeze(-1)  # [out, in, 1]
         out_w = _t(dec.ff_out[l]).unsqueeze(-1)
-        x = x + conv_ffn(h, proj_w, out_w)
+        x = x + conv_ffn(h, proj_w, out_w, gelu_approximate=_gelu_mode(config))
     return layer_norm(x, _a(dec.norm_out), config.eps)
 
 
@@ -155,7 +161,8 @@ def lt_sample_greedy(decoder_hidden: torch.Tensor, weights, config,
         h = layer_norm(x, _a(lt.norm_self), config.eps)
         x = x + mha(h, _t(lt.qkv), _t(lt.sa_out), config.lt_heads, causal=True)
         h = layer_norm(x, _a(lt.norm_ff), config.eps)
-        x = x + conv_ffn(h, _t(lt.ff_proj).unsqueeze(-1), _t(lt.ff_out).unsqueeze(-1))
+        x = x + conv_ffn(h, _t(lt.ff_proj).unsqueeze(-1), _t(lt.ff_out).unsqueeze(-1),
+                         gelu_approximate=_gelu_mode(config))
         hidden = x[-1]
         logits = hidden @ _t(lt.out_proj_w[cb]).T + _a(lt.out_proj_b[cb])
         for tok in forbidden:

@@ -114,6 +114,41 @@ def test_e2e_greedy_token_parity(rng):
     np.testing.assert_array_equal(ours, theirs)
 
 
+def test_e2e_greedy_token_parity_tanh(rng):
+    """The ggml tanh-GELU flavor (reference src/magpie.cpp:1791-1805; CLI
+    --gelu tanh) flows through every FFN: the jitted cached program under a
+    tanh config must reproduce the tanh-configured torch oracle's greedy codes
+    exactly — this is the switch a vs-C++ A/B uses on real weights."""
+    import dataclasses
+
+    c = dataclasses.replace(CONFIG, gelu_flavor="tanh")
+    tokens = np.array([c.text_bos_id, 5, 9, 17, 3, c.text_eos_id], np.int32)
+
+    program = jax.jit(
+        lambda t, el, spk, key, temp: magpie_mod.synthesize_codes_program(
+            t, el, spk, key, temp, WEIGHTS, c, top_k=8, max_steps=8))
+    codes, n_frames = program(jnp.asarray(tokens), jnp.int32(len(tokens)),
+                              jnp.int32(0), jax.random.PRNGKey(0), jnp.float32(0.0))
+    ours = np.asarray(codes)[: int(n_frames)]
+
+    theirs = ref_magpie.synthesize_greedy(tokens, ORACLE, c, speaker_id=0,
+                                          max_steps=8)
+    assert int(n_frames) == theirs.shape[0]
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_gelu_flavor_is_load_bearing(rng):
+    """Guard against the flag silently not being threaded: the two flavors must
+    produce different continuous outputs from the same weights."""
+    import dataclasses
+
+    tokens = np.array([CONFIG.text_bos_id, 5, 9, 17, 3, CONFIG.text_eos_id], np.int32)
+    c_tanh = dataclasses.replace(CONFIG, gelu_flavor="tanh")
+    enc_erf = np.asarray(run_encoder(jnp.asarray(tokens), WEIGHTS, CONFIG))
+    enc_tanh = np.asarray(run_encoder(jnp.asarray(tokens), WEIGHTS, c_tanh))
+    assert np.abs(enc_erf - enc_tanh).max() > 1e-6
+
+
 def test_e2e_bucketed_tokens_same_codes(rng):
     """Padding the token sequence to a bucket must not change generated codes."""
     c = CONFIG

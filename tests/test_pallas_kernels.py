@@ -107,6 +107,26 @@ def test_lt_sampler_greedy_parity(rng):
             np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pal))
 
 
+def test_lt_sampler_greedy_parity_tanh(rng):
+    """ggml tanh-GELU flavor: kernel and XLA path agree on greedy codes when
+    the config selects tanh (the --gelu tanh A/B switch)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CONFIG, gelu_flavor="tanh")
+    static_mask = sampling.forbidden_token_mask(
+        cfg.vocab_per_cb, cfg.audio_bos_id, cfg.audio_eos_id)
+    for trial in range(2):
+        hidden = jnp.asarray(rng.normal(0, 0.5, size=(cfg.d_model,)).astype(np.float32))
+        s_ref, a_ref = lt_mod.sample_frame_codes(
+            hidden, WEIGHTS, cfg, jax.random.PRNGKey(0), jnp.float32(0.0),
+            8, jnp.bool_(False), static_mask)
+        s_pal, a_pal = sample_frame_codes_pallas(
+            hidden, WEIGHTS, cfg, jnp.int32(trial), jnp.float32(0.0), 8,
+            jnp.bool_(False), interpret=True)
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pal))
+        np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pal))
+
+
 def test_lt_sampler_topk_threshold_math(rng):
     """The histogram refinement must select ~the k-th largest logit: verify the
     candidate count is >= k and the threshold excludes low logits."""
@@ -345,6 +365,33 @@ def test_prod_decode_step_interpret(rng, prod):
                                atol=2e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref), atol=1e-3)
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
+
+
+def test_prod_decode_step_interpret_tanh(rng, prod):
+    """ggml tanh-GELU threads into the fused decoder kernel (the --gelu tanh
+    A/B switch): kernel == XLA step under a tanh config at production dims."""
+    import dataclasses
+
+    from magpie_tts_tpu.models import decoder as decoder_mod
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step import decode_step_pallas
+
+    c, w = prod
+    c = dataclasses.replace(c, gelu_flavor="tanh")
+    xa_k, xa_v, k_cache, v_cache, enc_len, pos = _prod_step_inputs(rng, c)
+    emb = jnp.asarray(rng.normal(0, 0.3, size=(c.d_model,)).astype(np.float32))
+
+    h_got, _, _ = decode_step_pallas(
+        emb, pos, xa_k, xa_v, k_cache, v_cache, w, c, enc_length=enc_len,
+        interpret=True)
+    h_ref, _, _ = decoder_mod.decode_step(
+        emb, pos, xa_k, xa_v, k_cache, v_cache, w, c, enc_length=enc_len)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
+                               atol=2e-3, rtol=1e-2)
+    # And the flavor changed the result relative to erf (flag is load-bearing).
+    c_erf = dataclasses.replace(c, gelu_flavor="erf")
+    h_erf, _, _ = decoder_mod.decode_step(
+        emb, pos, xa_k, xa_v, k_cache, v_cache, w, c_erf, enc_length=enc_len)
+    assert np.abs(np.asarray(h_ref) - np.asarray(h_erf)).max() > 1e-6
 
 
 @pytest.mark.parametrize("pos_off,chunked", [(40, False), (40, True),
