@@ -133,7 +133,9 @@ def trace_codec(codes: np.ndarray, weights: CodecWeights,
     if codes.shape[0] != config.num_codebooks:
         codes = codes.T  # accept [T, 8] too
     latent = codec_mod.fsq_dequantize(codes, config)
-    out["codec_latent"] = np.asarray(latent, np.float32)
+    # Dumped in the reference's [latent_dim, T] layout (fsq_dequantize_cpu,
+    # nano-codec.cpp:721-752) so the .bin interoperates; compute is [T, C].
+    out["codec_latent"] = np.asarray(latent, np.float32).T
     x = latent[None].astype(weights.pre_conv_w.dtype)
     x = codec_mod.causal_conv1d(x, weights.pre_conv_w, weights.pre_conv_b)
     out["codec_pre_conv"] = np.asarray(x[0], np.float32)

@@ -96,7 +96,10 @@ def cross_attention(q_in: torch.Tensor, mem: torch.Tensor, q_w: torch.Tensor,
     return torch.cat(outs, dim=-1) @ out_w.T
 
 
-def run_encoder(tokens: np.ndarray, weights, config) -> torch.Tensor:
+def run_encoder(tokens: np.ndarray, weights, config,
+                captures: dict = None) -> torch.Tensor:
+    """``captures``: optional dict that receives per-layer intermediates under
+    the golden-dump names (io/trace_forward.py naming) for acceptance tests."""
     jw = weights.jw
     enc = jw.encoder
     x = _a(jw.text_emb)[torch.from_numpy(tokens).long()]
@@ -109,11 +112,16 @@ def run_encoder(tokens: np.ndarray, weights, config) -> torch.Tensor:
         proj_w = torch.from_numpy(np.transpose(np.asarray(enc.ff_proj[l]), (2, 1, 0)).copy()).float()
         out_w = torch.from_numpy(np.transpose(np.asarray(enc.ff_out[l]), (2, 1, 0)).copy()).float()
         x = x + conv_ffn(h, proj_w, out_w, gelu_approximate=_gelu_mode(config))
-    return layer_norm(x, _a(enc.norm_out), config.eps)
+        if captures is not None:
+            captures[f"encoder_layer_{l}"] = x.clone()
+    out = layer_norm(x, _a(enc.norm_out), config.eps)
+    if captures is not None:
+        captures["encoder_output"] = out.clone()
+    return out
 
 
 def run_decoder_full(dec_input: torch.Tensor, enc_out: torch.Tensor,
-                     weights, config) -> torch.Tensor:
+                     weights, config, captures: dict = None) -> torch.Tensor:
     """dec_input: [T, d] WITHOUT position embeddings (added here, offset 0)."""
     jw = weights.jw
     dec = jw.decoder
@@ -131,7 +139,12 @@ def run_decoder_full(dec_input: torch.Tensor, enc_out: torch.Tensor,
         proj_w = _t(dec.ff_proj[l]).unsqueeze(-1)  # [out, in, 1]
         out_w = _t(dec.ff_out[l]).unsqueeze(-1)
         x = x + conv_ffn(h, proj_w, out_w, gelu_approximate=_gelu_mode(config))
-    return layer_norm(x, _a(dec.norm_out), config.eps)
+        if captures is not None:
+            captures[f"decoder_layer_{l}"] = x.clone()
+    out = layer_norm(x, _a(dec.norm_out), config.eps)
+    if captures is not None:
+        captures["decoder_output"] = out.clone()
+    return out
 
 
 def audio_frame_embedding(codes: np.ndarray, weights, config) -> torch.Tensor:

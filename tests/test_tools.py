@@ -198,6 +198,7 @@ def test_inspect_gguf_runs(tmp_path, rng):
 # ---- per-layer golden tracing + verify_golden --------------------------------
 
 
+@pytest.mark.slow
 def test_trace_forward_consistency(rng):
     """Per-layer traces must agree with the production building blocks."""
     import jax.numpy as jnp
@@ -243,6 +244,7 @@ def test_trace_forward_consistency(rng):
                                   np.asarray(argmax))
 
 
+@pytest.mark.slow
 def test_trace_codec_consistency(rng):
     from magpie_tts_tpu.config import CodecConfig
     from magpie_tts_tpu.io import trace_forward as tf
@@ -257,7 +259,7 @@ def test_trace_codec_consistency(rng):
     want = np.asarray(cm.codec_decode(jnp.asarray(codes), w, c,
                                       use_pallas=False))
     np.testing.assert_allclose(trace["codec_audio"], want, atol=1e-6)
-    assert trace["codec_latent"].shape[-1] == c.latent_dim
+    assert trace["codec_latent"].shape[0] == c.latent_dim  # reference [C, T]
     for s in range(len(c.up_sample_rates)):
         assert f"codec_stage{s}" in trace
 

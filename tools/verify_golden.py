@@ -47,10 +47,52 @@ DEFAULT_TOLERANCES = [
 
 
 def tolerance_for(name: str, overrides) -> float:
-    for prefix, tol in overrides + DEFAULT_TOLERANCES:
+    for prefix, tol in list(overrides) + DEFAULT_TOLERANCES:
         if name.startswith(prefix):
             return tol
     return 1e-3
+
+
+def compare_dirs(ref_dir, cand_dir, overrides=(), quiet=False, out=None):
+    """Diff every reference .bin against the candidate tree.
+
+    Returns ``(n_ok, n_fail, n_missing, lines)`` where ``lines`` are the
+    per-tensor report rows; shared by this CLI and tools/acceptance.py.
+    """
+    from magpie_tts_tpu.io.golden import read_golden
+
+    ref_dir, cand_dir = Path(ref_dir), Path(cand_dir)
+    ref_files = sorted(p.stem for p in ref_dir.glob("*.bin"))
+    n_fail = n_missing = 0
+    lines = []
+
+    def emit(line, failed):
+        lines.append(line)
+        if out is not None and (failed or not quiet):
+            print(line, file=out)
+
+    for name in ref_files:
+        cand = cand_dir / f"{name}.bin"
+        if not cand.exists():
+            emit(f"MISSING  {name}", True)
+            n_missing += 1
+            continue
+        a = read_golden(ref_dir / f"{name}.bin")
+        b = read_golden(cand)
+        if a.shape != b.shape:
+            emit(f"SHAPE    {name}: {a.shape} vs {b.shape}", True)
+            n_fail += 1
+            continue
+        diff = np.abs(a.astype(np.float64) - b.astype(np.float64))
+        mx = float(diff.max()) if diff.size else 0.0
+        mean = float(diff.mean()) if diff.size else 0.0
+        tol = tolerance_for(name, list(overrides))
+        ok = mx <= tol
+        if not ok:
+            n_fail += 1
+        emit(f"{'ok' if ok else 'FAIL':7s}  {name:28s} "
+             f"max {mx:.3e}  mean {mean:.3e}  (tol {tol:g})", not ok)
+    return len(ref_files) - n_fail - n_missing, n_fail, n_missing, lines
 
 
 def main():
@@ -64,8 +106,6 @@ def main():
                     help="only print failures and the summary")
     args = ap.parse_args()
 
-    from magpie_tts_tpu.io.golden import read_golden
-
     overrides = []
     for spec in args.tol:
         prefix, _, tol = spec.partition("=")
@@ -77,35 +117,14 @@ def main():
         print(f"verify_golden: no .bin files in {ref_dir}", file=sys.stderr)
         return 2
 
-    n_fail = n_missing = 0
-    for name in ref_files:
-        cand = cand_dir / f"{name}.bin"
-        if not cand.exists():
-            print(f"MISSING  {name}")
-            n_missing += 1
-            continue
-        a = read_golden(ref_dir / f"{name}.bin")
-        b = read_golden(cand)
-        if a.shape != b.shape:
-            print(f"SHAPE    {name}: {a.shape} vs {b.shape}")
-            n_fail += 1
-            continue
-        diff = np.abs(a.astype(np.float64) - b.astype(np.float64))
-        mx, mean = float(diff.max()) if diff.size else 0.0, \
-            float(diff.mean()) if diff.size else 0.0
-        tol = tolerance_for(name, overrides)
-        ok = mx <= tol
-        if not ok:
-            n_fail += 1
-        if not ok or not args.quiet:
-            print(f"{'ok' if ok else 'FAIL':7s}  {name:28s} "
-                  f"max {mx:.3e}  mean {mean:.3e}  (tol {tol:g})")
+    n_ok, n_fail, n_missing, _lines = compare_dirs(
+        ref_dir, cand_dir, overrides, quiet=args.quiet, out=sys.stdout)
 
     extra = sorted(set(p.stem for p in cand_dir.glob("*.bin")) - set(ref_files))
     if extra and not args.quiet:
         print(f"note: candidate-only dumps ignored: {', '.join(extra)}")
-    print(f"verify_golden: {len(ref_files) - n_fail - n_missing}/"
-          f"{len(ref_files)} ok, {n_fail} failed, {n_missing} missing")
+    print(f"verify_golden: {n_ok}/{len(ref_files)} ok, "
+          f"{n_fail} failed, {n_missing} missing")
     return 1 if (n_fail or n_missing) else 0
 
 
