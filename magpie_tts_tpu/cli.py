@@ -67,6 +67,138 @@ def build_serve_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_warmup_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="magpie-tts warmup",
+        description="Populate the persistent compilation cache for chosen "
+                    "serving surfaces so deployments never pay a cold "
+                    "compile: run once per (model, dtype, surface) on the "
+                    "target TPU generation, then ship/mount the cache "
+                    "directory alongside the weights. Every later process "
+                    "deserializes executables instead of recompiling "
+                    "(docs/STATUS.md cold-start table).")
+    p.add_argument("-m", "--model", default="weights/magpie-357m-f32.gguf")
+    p.add_argument("-c", "--codec", default="weights/nano-codec-f32.gguf")
+    p.add_argument("--cache-dir", default=None,
+                   help="compilation cache directory (default "
+                        "$MAGPIE_COMPILATION_CACHE or "
+                        "~/.cache/magpie_tts_tpu/jax_cache); this is the "
+                        "artifact to ship with the weights")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated token buckets (default: engine "
+                        "defaults)")
+    p.add_argument("--surfaces", default="offline",
+                   help="comma-separated subset of offline,fused,stream,"
+                        "serve — or 'all'. offline = the plain CLI synth "
+                        "path (+ codec frame buckets); fused = the "
+                        "one-dispatch generate+vocode+PCM16 program; stream "
+                        "= the fused streaming chunk programs; serve = the "
+                        "continuous-batching segment program")
+    p.add_argument("--serve-slots", type=int, default=8,
+                   help="slot count for the serve surface (must match the "
+                        "server's --slots to hit cache)")
+    p.add_argument("--segment-frames", type=int, default=32)
+    p.add_argument("--top-k", type=int, default=80)
+    p.add_argument("--gelu", choices=("erf", "tanh"), default=None)
+    p.add_argument("--serve-int8", action="store_true")
+    p.add_argument("-q", "--quiet", action="store_true")
+    return p
+
+
+def warmup(argv) -> int:
+    """Pre-compile every requested surface into the persistent cache."""
+    args = build_warmup_parser().parse_args(argv)
+
+    surfaces = (("offline", "fused", "stream", "serve")
+                if args.surfaces.strip() == "all"
+                else tuple(s.strip() for s in args.surfaces.split(",") if s.strip()))
+    unknown = set(surfaces) - {"offline", "fused", "stream", "serve"}
+    if unknown:
+        print(f"error: unknown surface(s): {', '.join(sorted(unknown))}",
+              file=sys.stderr)
+        return 1
+
+    import jax.numpy as jnp
+
+    from .pipeline import MagpiePipeline
+    from .runtime.platform import enable_compilation_cache
+
+    def log(msg):
+        if not args.quiet:
+            print(msg, file=sys.stderr)
+
+    cache_dir = enable_compilation_cache(args.cache_dir)
+    log(f"warmup: compilation cache at {cache_dir or '(disabled)'}")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    buckets = (tuple(int(b) for b in args.buckets.split(","))
+               if args.buckets else None)
+    t0 = time.perf_counter()
+    try:
+        pipeline = MagpiePipeline.from_gguf(
+            args.model, args.codec, compute_dtype=dtype,
+            serve_int8=args.serve_int8, gelu_flavor=args.gelu)
+    except FileNotFoundError as e:
+        print(f"error: model file not found: {e.filename or e}", file=sys.stderr)
+        return 1
+    except (ValueError, OSError) as e:
+        print(f"error: failed to load model: {e}", file=sys.stderr)
+        return 1
+    log(f"warmup: loaded in {time.perf_counter() - t0:.1f}s "
+        f"(dtype={args.dtype})")
+
+    config = pipeline.config
+    dummy = [config.text_bos_id, 2, config.text_eos_id]
+
+    def stage(name, fn):
+        t = time.perf_counter()
+        fn()
+        log(f"warmup: {name:8s} {time.perf_counter() - t:7.1f}s")
+
+    if "offline" in surfaces:
+        stage("offline", lambda: pipeline.warmup(token_buckets=buckets,
+                                                 top_k=args.top_k))
+        if pipeline.codec is not None:
+            stage("codec", pipeline.codec.warmup)
+    if "fused" in surfaces:
+        from .runtime.engine import synthesize_audio_fused
+
+        def warm_fused():
+            for bucket in (buckets or pipeline.engine.token_buckets):
+                toks = dummy + [2] * (bucket - len(dummy))
+                synthesize_audio_fused(pipeline.engine, pipeline.codec,
+                                       toks[:bucket], temperature=0.0,
+                                       top_k=args.top_k)
+        if pipeline.codec is None:
+            print("error: fused surface needs the codec (-c)", file=sys.stderr)
+            return 1
+        stage("fused", warm_fused)
+    if "stream" in surfaces:
+        if pipeline.codec is None:
+            print("error: stream surface needs the codec (-c)", file=sys.stderr)
+            return 1
+        stage("stream", lambda: pipeline.warmup(streaming_path=True,
+                                                token_buckets=buckets))
+    if "serve" in surfaces:
+        from .parallel.continuous import ContinuousBatchingEngine
+
+        def warm_serve():
+            eng = ContinuousBatchingEngine(
+                pipeline.engine.weights, config, n_slots=args.serve_slots,
+                compute_dtype=dtype, segment_frames=args.segment_frames)
+            eng.submit(dummy)
+            while eng.pending:
+                eng.step(temperature=0.0, top_k=args.top_k)
+        stage("serve", warm_serve)
+
+    log(f"warmup: total {time.perf_counter() - t0:.1f}s — ship {cache_dir} "
+        f"with the weights (or point MAGPIE_COMPILATION_CACHE at it)")
+    print(cache_dir)
+    return 0
+
+
 def serve(argv) -> int:
     """Continuous-batching serving loop over stdin/stdout.
 
@@ -214,6 +346,8 @@ def main(argv=None) -> int:
         argv = sys.argv[1:]
     if argv and argv[0] == "serve":
         return serve(argv[1:])
+    if argv and argv[0] == "warmup":
+        return warmup(argv[1:])
     args = build_parser().parse_args(argv)
 
     import jax.numpy as jnp

@@ -212,20 +212,35 @@ class MagpieEngine:
         return SynthesisResult(codes=codes, n_frames=codes.shape[0])
 
     def warmup(self, *, token_buckets: Sequence[int] = None, top_k: int = 80,
-               streaming: bool = False) -> None:
+               streaming: bool = False, codec=None,
+               split_stream: bool = False) -> None:
         """Pre-compile synthesis programs for the given (default: all) token
         buckets so no request pays a compile.
 
-        ``streaming=True`` warms the SPLIT incremental path (prepare +
-        decode_chunk) used by direct ``decode_chunk`` callers. Production
-        streaming (``runtime.streaming.stream_sentence``) runs a different,
-        fused decode+vocode program that needs the codec — warm that with
-        ``runtime.streaming.warmup_streaming(engine, codec, ...)`` or
-        ``MagpiePipeline.warmup(streaming=True)``."""
+        ``streaming=True`` warms the REAL production streaming path — the
+        fused decode+vocode chunk programs ``runtime.streaming
+        .stream_sentence`` dispatches — and therefore needs the ``codec``
+        engine (raises ValueError without one, rather than silently warming
+        the wrong programs). ``split_stream=True`` warms the SPLIT incremental
+        path (prepare + decode_chunk) for callers that drive ``decode_chunk``
+        directly."""
+        if streaming:
+            if codec is None:
+                raise ValueError(
+                    "warmup(streaming=True) warms the fused decode+vocode "
+                    "chunk programs, which need the codec: pass codec=<"
+                    "CodecEngine> (or call MagpiePipeline.warmup("
+                    "streaming_path=True)). To warm only the split "
+                    "prepare/decode_chunk programs, use split_stream=True.")
+            from . import streaming as streaming_mod
+
+            streaming_mod.warmup_streaming(self, codec,
+                                           token_buckets=token_buckets)
+            return
         for bucket in (token_buckets or self.token_buckets):
             tokens = [self.config.text_bos_id, self.config.text_eos_id]
             tokens += [2] * (bucket - len(tokens))
-            if streaming:
+            if split_stream:
                 stream = self.begin_stream(tokens)
                 self.decode_chunk(stream, n_frames=1, top_k=top_k)
             else:

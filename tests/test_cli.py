@@ -33,6 +33,7 @@ def _run_cli(args, timeout=300):
                          capture_output=True, text=True, timeout=timeout, env=env)
 
 
+@pytest.mark.slow
 def test_cli_synthesize(model_paths, tmp_path):
     mpath, cpath = model_paths
     out = str(tmp_path / "out.wav")
@@ -45,6 +46,7 @@ def test_cli_synthesize(model_paths, tmp_path):
     assert len(samples) > 0
 
 
+@pytest.mark.slow
 def test_cli_quiet_prints_only_filename(model_paths, tmp_path):
     mpath, cpath = model_paths
     out = str(tmp_path / "q.wav")
@@ -54,6 +56,7 @@ def test_cli_quiet_prints_only_filename(model_paths, tmp_path):
     assert proc.stdout.strip() == out
 
 
+@pytest.mark.slow
 def test_cli_stream_mode(model_paths, tmp_path):
     mpath, cpath = model_paths
     out = str(tmp_path / "s.wav")
@@ -65,6 +68,7 @@ def test_cli_stream_mode(model_paths, tmp_path):
     assert len(samples) > 0
 
 
+@pytest.mark.slow
 def test_cli_serve_is_online(model_paths, tmp_path):
     """serve must admit requests WHILE decoding: request A's result arrives
     before stdin closes, then request B (submitted after A completed) is
@@ -124,6 +128,7 @@ def test_cli_missing_model_is_graceful(tmp_path):
     assert "Traceback" not in proc.stderr
 
 
+@pytest.mark.slow
 def test_cli_serve_mode(model_paths, tmp_path):
     import json
 
@@ -148,3 +153,26 @@ def test_cli_serve_mode(model_paths, tmp_path):
         samples, rate = read_wav(r["wav"])
         assert samples.shape[0] == r["frames"] * 64  # tiny-config hop length
         assert r["frames"] > 0
+
+
+@pytest.mark.slow
+def test_cli_warmup_command(model_paths, tmp_path):
+    """`magpie-tts warmup` compiles the requested surfaces into a given
+    compilation-cache dir and prints the dir (the shippable artifact)."""
+    mpath, cpath = model_paths
+    cache = str(tmp_path / "compile_cache")
+    proc = _run_cli(["warmup", "-m", mpath, "-c", cpath,
+                     "--cache-dir", cache, "--buckets", "16",
+                     "--surfaces", "offline,stream"])
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout.strip() == cache
+    assert "offline" in proc.stderr and "stream" in proc.stderr
+    assert Path(cache).is_dir()
+
+
+def test_cli_warmup_rejects_unknown_surface(model_paths):
+    mpath, cpath = model_paths
+    proc = _run_cli(["warmup", "-m", mpath, "-c", cpath,
+                     "--surfaces", "nonsense"])
+    assert proc.returncode == 1
+    assert "unknown surface" in proc.stderr
