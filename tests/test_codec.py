@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from magpie_tts_tpu.config import CodecConfig
 from magpie_tts_tpu.io.codec_weights import random_codec_weights
@@ -65,6 +66,7 @@ def test_grouped_conv_transpose_vs_oracle(rng):
     np.testing.assert_allclose(ours, np.transpose(theirs, (0, 2, 1)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_codec_vs_oracle(rng):
     config = tiny_codec_config()
     weights = random_codec_weights(config, seed=7)
@@ -75,6 +77,7 @@ def test_full_codec_vs_oracle(rng):
     np.testing.assert_allclose(ours, theirs, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_codec_prefix_exactness(rng):
     """Causality: decoding a padded code sequence must not change the prefix —
     the property the bucketed/streaming paths rely on."""
@@ -87,6 +90,7 @@ def test_codec_prefix_exactness(rng):
     np.testing.assert_allclose(full, pad_out[: full.shape[0]], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_merged_res_layer_matches_reference(rng):
     """The grouped merged-branch res layer must equal the per-branch form."""
     import jax.numpy as jnp

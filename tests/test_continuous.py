@@ -20,6 +20,7 @@ def _tokens(rng, n):
             + [CONFIG.text_eos_id])
 
 
+@pytest.mark.slow
 def test_staggered_requests_match_single_stream(rng):
     reference = MagpieEngine(WEIGHTS, CONFIG, token_buckets=(16, 32))
     engine = ContinuousBatchingEngine(
@@ -45,6 +46,7 @@ def test_staggered_requests_match_single_stream(rng):
             err_msg=f"request {req_id} ({len(tokens)} tokens) diverged")
 
 
+@pytest.mark.slow
 def test_burst_admission_mixed_buckets(rng):
     """A burst that admits across two token buckets in one wave (grouped
     power-of-two batched-admission calls) matches single-stream greedy."""
@@ -64,6 +66,7 @@ def test_burst_admission_mixed_buckets(rng):
         np.testing.assert_array_equal(finished[req_id], expect)
 
 
+@pytest.mark.slow
 def test_slot_reuse_is_clean(rng):
     """A retired slot's leftover cache/mask state must not leak into the next
     request admitted to the same slot."""
@@ -81,6 +84,7 @@ def test_slot_reuse_is_clean(rng):
         np.testing.assert_array_equal(out[rid], want)
 
 
+@pytest.mark.slow
 def test_staggered_requests_fused_kernels_interpret(rng, monkeypatch):
     """Same staggered-admission scenario, but through the PALLAS ring-variant
     kernels in interpret mode (fused batched frame + batched decoder step):
@@ -123,3 +127,20 @@ def test_staggered_requests_fused_kernels_interpret(rng, monkeypatch):
         np.testing.assert_array_equal(
             finished[req_id], expect,
             err_msg=f"request {req_id} ({len(tokens)} tokens) diverged")
+
+
+def test_single_request_smoke(rng):
+    """Fast-tier continuous-batching coverage: one request admits, decodes in
+    segments, and retires with plausibly-shaped codes (greedy parity with the
+    single-stream engine is pinned by the slow-tier tests above)."""
+    engine = ContinuousBatchingEngine(
+        WEIGHTS, CONFIG, n_slots=2, token_buckets=(16,), segment_frames=4)
+    rid = engine.submit(_tokens(rng, 5))
+    assert engine.pending
+    finished = {}
+    while engine.pending:
+        finished.update(engine.step(temperature=0.0, top_k=1))
+    assert list(finished) == [rid]
+    codes = finished[rid]
+    assert codes.ndim == 2 and codes.shape[1] == CONFIG.num_codebooks
+    assert (codes >= 0).all() and (codes < CONFIG.vocab_per_cb).all()

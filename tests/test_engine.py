@@ -36,6 +36,7 @@ def test_pick_bucket():
         pick_bucket((8,), 9)
 
 
+@pytest.mark.slow
 def test_engine_synthesize_greedy_deterministic(engine):
     tokens = [CONFIG.text_bos_id, 1, 2, 3, CONFIG.text_eos_id]
     r1 = engine.synthesize_codes(tokens, temperature=0.0)
@@ -53,6 +54,7 @@ def test_engine_sampled_seed_reproducible(engine):
     np.testing.assert_array_equal(a.codes, b.codes)
 
 
+@pytest.mark.slow
 def test_chunked_decode_matches_one_shot_greedy(engine):
     """Incremental streaming decode must produce the same greedy codes as the
     one-shot program (temp=0 -> sampling key is irrelevant)."""
@@ -71,6 +73,7 @@ def test_chunked_decode_matches_one_shot_greedy(engine):
     np.testing.assert_array_equal(chunked, full.codes)
 
 
+@pytest.mark.slow
 def test_codec_engine_bucketing_consistent(codec_engine, rng):
     codes = rng.integers(0, 32, size=(5, 8)).astype(np.int32)
     a = codec_engine.decode(codes)           # bucket 8
@@ -80,6 +83,7 @@ def test_codec_engine_bucketing_consistent(codec_engine, rng):
     np.testing.assert_allclose(a, padded_run[: a.shape[0]], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_streaming_chunks_concat_equals_full_decode(engine, codec_engine):
     """Streamed audio (context-primed chunked vocoding) must equal the offline
     decode of the same codes exactly — given context >= the receptive field."""
@@ -96,6 +100,7 @@ def test_streaming_chunks_concat_equals_full_decode(engine, codec_engine):
     np.testing.assert_allclose(streamed, offline, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_warmup_streaming_compiles_fused_chunk_programs(codec_engine):
     """warmup_streaming must compile the PRODUCTION streaming programs (the
     fused prefill+first-chunk fn AND the steady-state fused chunk fn), so a
@@ -138,6 +143,7 @@ def test_wav_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(loaded, samples, atol=1.0 / 32000)
 
 
+@pytest.mark.slow
 def test_gguf_fixture_loads_and_runs(tmp_path):
     """Full file-based path: synthetic GGUF pair -> pipeline -> wav."""
     from magpie_tts_tpu.pipeline import MagpiePipeline
@@ -159,6 +165,7 @@ def test_gguf_fixture_loads_and_runs(tmp_path):
     assert n % pipe.codec.config.hop_length == 0
 
 
+@pytest.mark.slow
 def test_gguf_q8_weights_load(tmp_path):
     """Q8_0-quantized checkpoint loads and runs (dequant-at-load path)."""
     from magpie_tts_tpu.pipeline import MagpiePipeline
@@ -172,6 +179,7 @@ def test_gguf_q8_weights_load(tmp_path):
     assert result.codes.shape[1] == 8
 
 
+@pytest.mark.slow
 def test_warmup_precompiles_buckets():
     from tests.utils import tiny_magpie_config, tiny_codec_config
     from magpie_tts_tpu.io.magpie_weights import random_magpie_weights
@@ -191,6 +199,7 @@ def test_warmup_precompiles_buckets():
     assert {b for (b, pcm16) in codec._decode_cache} == {8, 16}
 
 
+@pytest.mark.slow
 def test_synthesize_audio_fused_matches_two_call(engine, codec_engine):
     """The one-dispatch generate->vocode->PCM16 program == the two-call path
     (same seed; causal codec => prefix-exact under the step-cap padding)."""
@@ -206,6 +215,7 @@ def test_synthesize_audio_fused_matches_two_call(engine, codec_engine):
     np.testing.assert_array_equal(pcm, ref_pcm)
 
 
+@pytest.mark.slow
 def test_codec_decode_pcm16_matches_host_conversion():
     """On-device PCM16 == the WAV writer's host-side clip/scale/truncate."""
     from tests.utils import tiny_codec_config
@@ -224,6 +234,7 @@ def test_codec_decode_pcm16_matches_host_conversion():
     np.testing.assert_array_equal(i16, want)
 
 
+@pytest.mark.slow
 def test_codec_decode_batch_matches_single():
     from tests.utils import tiny_codec_config
     from magpie_tts_tpu.io.codec_weights import random_codec_weights

@@ -94,6 +94,7 @@ def test_split_to_buckets_uses_largest_bucket():
 
 # ---- engine ---------------------------------------------------------------
 
+@pytest.mark.slow
 def test_engine_long_input_synthesizes(engine):
     """A 40+-token input (largest bucket 16) produces frames, no ValueError."""
     ids = make_long_tokens(10)
@@ -131,6 +132,7 @@ class _StubTokenizer:
         return list(self.ids)
 
 
+@pytest.mark.slow
 def test_streaming_long_unpunctuated_input(engine, codec_engine):
     ids = make_long_tokens(10)
     params = streaming.StreamParams(temperature=0.0, frames_per_chunk=4,
@@ -146,6 +148,7 @@ def test_streaming_long_unpunctuated_input(engine, codec_engine):
 
 # ---- continuous batching ----------------------------------------------------
 
+@pytest.mark.slow
 def test_continuous_long_request_chunks_and_reassembles():
     eng = ContinuousBatchingEngine(WEIGHTS, CONFIG, n_slots=4,
                                    token_buckets=TOKEN_BUCKETS,
@@ -170,6 +173,7 @@ def test_continuous_long_request_chunks_and_reassembles():
     np.testing.assert_array_equal(finished[rid], np.concatenate(parts, axis=0))
 
 
+@pytest.mark.slow
 def test_batched_engine_long_input_matches_single_stream(engine):
     """BatchedMagpieEngine chunks over-long requests into extra lockstep rows
     (waves of batch_size) and reassembles — greedy codes equal the

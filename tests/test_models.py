@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from magpie_tts_tpu.io.magpie_weights import random_magpie_weights
@@ -26,6 +27,7 @@ def test_encoder_vs_oracle(rng):
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_encoder_prefix_exact_under_padding(rng):
     """Causal encoder: right padding must not change the valid prefix (bucketing)."""
     tokens = rng.integers(0, CONFIG.text_vocab_size, size=(9,)).astype(np.int32)
@@ -47,6 +49,7 @@ def test_decoder_full_vs_oracle(rng):
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_prefill_plus_steps_match_full_decoder(rng):
     """The jitted cached path (prefill + per-step) must reproduce the full-seq
     decoder's last-position hidden at every step."""
@@ -72,6 +75,7 @@ def test_prefill_plus_steps_match_full_decoder(rng):
                                    atol=2e-4, err_msg=f"step {t}")
 
 
+@pytest.mark.slow
 def test_lt_greedy_vs_oracle(rng):
     hidden = rng.normal(0, 0.5, size=(CONFIG.d_model,)).astype(np.float32)
     static_mask = sampling.forbidden_token_mask(
@@ -93,6 +97,7 @@ def test_audio_frame_embedding_scale(rng):
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_e2e_greedy_token_parity(rng):
     """The north-star parity test: the fully jitted cached program must produce
     the exact same greedy token codes as the independent full-sequence torch
@@ -114,6 +119,7 @@ def test_e2e_greedy_token_parity(rng):
     np.testing.assert_array_equal(ours, theirs)
 
 
+@pytest.mark.slow
 def test_e2e_greedy_token_parity_tanh(rng):
     """The ggml tanh-GELU flavor (reference src/magpie.cpp:1791-1805; CLI
     --gelu tanh) flows through every FFN: the jitted cached program under a
@@ -149,6 +155,7 @@ def test_gelu_flavor_is_load_bearing(rng):
     assert np.abs(enc_erf - enc_tanh).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_e2e_bucketed_tokens_same_codes(rng):
     """Padding the token sequence to a bucket must not change generated codes."""
     c = CONFIG

@@ -61,6 +61,7 @@ def test_native_f16_q4(tmp_path, rng):
                                       err_msg=name)
 
 
+@pytest.mark.slow
 def test_native_full_size_gguf(tmp_path):
     """Full-size (357M-class, VERDICT r2 weak #7) file through the native
     path: production shapes/offsets, q8_0 on the matmul weights, mmap +

@@ -54,6 +54,7 @@ def test_fast_sin_accuracy():
 
 
 @pytest.mark.parametrize("cin,cout,k,d", [(108, 108, 11, 5), (432, 432, 3, 1)])
+@pytest.mark.slow
 def test_snake_conv_fused_residual_exact(rng, cin, cout, k, d):
     """residual= fused into the kernel's f32 accumulator is bit-identical (at
     f32 output) to kernel-then-add, across tile boundaries."""
@@ -70,6 +71,7 @@ def test_snake_conv_fused_residual_exact(rng, cin, cout, k, d):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(base + res))
 
 
+@pytest.mark.slow
 def test_packed_conv_fused_residual_exact(rng):
     """Packed-domain residual fusion (used by _res_layer_packed): identical
     to packed conv + add."""
@@ -91,6 +93,7 @@ def test_packed_conv_fused_residual_exact(rng):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(base + rp))
 
 
+@pytest.mark.slow
 def test_lt_sampler_greedy_parity(rng):
     static_mask = sampling.forbidden_token_mask(
         CONFIG.vocab_per_cb, CONFIG.audio_bos_id, CONFIG.audio_eos_id)
@@ -107,6 +110,7 @@ def test_lt_sampler_greedy_parity(rng):
             np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pal))
 
 
+@pytest.mark.slow
 def test_lt_sampler_greedy_parity_tanh(rng):
     """ggml tanh-GELU flavor: kernel and XLA path agree on greedy codes when
     the config selects tanh (the --gelu tanh A/B switch)."""
@@ -127,6 +131,7 @@ def test_lt_sampler_greedy_parity_tanh(rng):
         np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_pal))
 
 
+@pytest.mark.slow
 def test_lt_sampler_topk_threshold_math(rng):
     """The histogram refinement must select ~the k-th largest logit: verify the
     candidate count is >= k and the threshold excludes low logits."""
@@ -150,6 +155,7 @@ def test_lt_sampler_topk_threshold_math(rng):
     (27, 3, 1), (27, 7, 3), (27, 11, 5), (27, 11, 1),
     (54, 7, 1), (54, 11, 5),
 ])
+@pytest.mark.slow
 def test_time_packed_conv_matches_unpacked(rng, C, k, d):
     from magpie_tts_tpu.ops.pallas_kernels import codec_conv as cc
 
@@ -168,6 +174,7 @@ def test_time_packed_conv_matches_unpacked(rng, C, k, d):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_packed_res_layer_matches_unpacked(rng):
     from magpie_tts_tpu.config import CodecConfig
     from magpie_tts_tpu.io.codec_weights import random_codec_weights
@@ -196,6 +203,7 @@ def test_packed_res_layer_matches_unpacked(rng):
 
 
 @pytest.mark.parametrize("stage_idx,C", [(2, 108), (3, 54), (4, 27)])
+@pytest.mark.slow
 def test_fused_res_layer_matches_xla(rng, stage_idx, C):
     """Fused whole-layer kernel (codec_res_fused) == XLA res_layer, for the
     unpacked (C=108) and time-packed (C=54/27) mid stages, across a tile
@@ -245,6 +253,7 @@ def test_fused_res_layer_matches_xla(rng, stage_idx, C):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_decoder_step_int8_stream_matches_dequant_oracle(rng):
     """Kernel with per-column int8 streaming == XLA step on dequantized weights."""
     from magpie_tts_tpu.io.magpie_weights import quantize_decoder_stream
@@ -279,6 +288,7 @@ def test_decoder_step_int8_stream_matches_dequant_oracle(rng):
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_frame_step_matches_separate_kernels(rng):
     """frame_step_pallas == sample_frame_codes_pallas + decode_step_pallas."""
     from magpie_tts_tpu.models import magpie as magpie_mod
@@ -346,6 +356,7 @@ def _prod_step_inputs(rng, c, batch=None):
     return xa_k, xa_v, k_cache, v_cache, enc_len, pos
 
 
+@pytest.mark.slow
 def test_prod_decode_step_interpret(rng, prod):
     from magpie_tts_tpu.models import decoder as decoder_mod
     from magpie_tts_tpu.models.magpie import pallas_shapes_ok
@@ -367,6 +378,7 @@ def test_prod_decode_step_interpret(rng, prod):
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_prod_decode_step_interpret_tanh(rng, prod):
     """ggml tanh-GELU threads into the fused decoder kernel (the --gelu tanh
     A/B switch): kernel == XLA step under a tanh config at production dims."""
@@ -396,6 +408,7 @@ def test_prod_decode_step_interpret_tanh(rng, prod):
 
 @pytest.mark.parametrize("pos_off,chunked", [(40, False), (40, True),
                                              (50, True), (340, True)])
+@pytest.mark.slow
 def test_prod_frame_step_interpret(rng, prod, pos_off, chunked,
                                    monkeypatch):
     """chunked=True exercises the MAGPIE_SS_CHUNK probe knob (a measured
@@ -432,6 +445,7 @@ def test_prod_frame_step_interpret(rng, prod, pos_off, chunked,
     np.testing.assert_allclose(np.asarray(vc_f), np.asarray(vc_r), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_prod_batched_decoder_step_interpret(rng, prod):
     from magpie_tts_tpu.models import decoder as decoder_mod
     from magpie_tts_tpu.ops.pallas_kernels.decoder_step_batched import (
@@ -461,6 +475,7 @@ def test_prod_batched_decoder_step_interpret(rng, prod):
 
 
 @pytest.mark.parametrize("pos_off", [40, 120, 340])  # 1/2/3-chunk, half/full variants
+@pytest.mark.slow
 def test_prod_batched_decoder_step_variants_interpret(rng, prod, pos_off):
     """Both cache-streaming variants (rows<=320 half-prefix, full 626) against
     the vmapped XLA oracle at production shapes."""
@@ -493,6 +508,7 @@ def test_prod_batched_decoder_step_variants_interpret(rng, prod, pos_off):
 
 
 @pytest.mark.parametrize("pos_off", [40, 120, 340])  # 1/2/3-chunk, half/full variants
+@pytest.mark.slow
 def test_prod_frame_step_batched_interpret(rng, prod, pos_off):
     """Fused batched frame kernel == the two-kernel path (LT sampler +
     batched decoder step) at production shapes: bit-exact greedy codes, and
@@ -545,6 +561,7 @@ def test_prod_frame_step_batched_interpret(rng, prod, pos_off):
     np.testing.assert_allclose(np.asarray(vc_f), np.asarray(vc_r), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_batched_lt_sampler_greedy_parity(rng):
     """Batched fused LT sampler == vmapped XLA path at temp=0 (bit-exact)."""
     from magpie_tts_tpu.ops.pallas_kernels.lt_sampler_batched import (
@@ -589,6 +606,7 @@ def test_batched_lt_sampler_topk_range(rng):
     assert not np.isin(s, forbidden).any()
 
 
+@pytest.mark.slow
 def test_prod_batched_lt_sampler_interpret(rng, prod):
     """Production 357M shapes through the batched LT sampler on CPU."""
     from magpie_tts_tpu.ops.pallas_kernels.lt_sampler_batched import (
@@ -612,6 +630,7 @@ def test_prod_batched_lt_sampler_interpret(rng, prod):
     np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_p))
 
 
+@pytest.mark.slow
 def test_batched_decoder_step_matches_vmapped_masked(rng):
     """Batched kernel (grouped cache streaming, shared write row, per-slot
     masks) == vmapped decode_step_masked."""
@@ -653,6 +672,7 @@ def test_batched_decoder_step_matches_vmapped_masked(rng):
 
 
 @pytest.mark.parametrize("temp_v", [0.0, 0.7])
+@pytest.mark.slow
 def test_decode_loop_fused_matches_xla_greedy(rng, monkeypatch, temp_v):
     """Loop-LEVEL parity: decode_loop with the fused frame kernel (interpret)
     produces the same codes/frame count as the pure-XLA loop — greedy AND
@@ -695,6 +715,7 @@ def test_decode_loop_fused_matches_xla_greedy(rng, monkeypatch, temp_v):
 
 
 @pytest.mark.parametrize("temp_v", [0.0, 0.7])
+@pytest.mark.slow
 def test_batched_program_fused_matches_xla_greedy(rng, monkeypatch, temp_v):
     """Loop-LEVEL batched parity on CPU: synthesize_codes_batched_program with
     the fused batched frame kernel (interpret) == the pure-XLA lockstep loop,

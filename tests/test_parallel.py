@@ -37,6 +37,7 @@ def test_shard_weights_places_on_mesh():
 
 
 @pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.slow
 def test_batched_sharded_greedy_matches_single(n_data, n_model):
     """dp x tp sharded batched decode must reproduce the single-device greedy
     codes exactly for every batch element."""
@@ -63,6 +64,7 @@ def test_batched_sharded_greedy_matches_single(n_data, n_model):
         np.testing.assert_array_equal(got, want.codes, err_msg=f"{ids}")
 
 
+@pytest.mark.slow
 def test_batched_engine_single_device_no_mesh():
     engine = BatchedMagpieEngine(WEIGHTS, CONFIG, batch_size=2, mesh=None,
                                  token_buckets=(8,))

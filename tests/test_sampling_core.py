@@ -29,6 +29,7 @@ PROD_VOCAB = 2024  # production vocab_per_cb
 
 
 @pytest.mark.parametrize("k", [1, 5, 80, 500, 2016, 2024])
+@pytest.mark.slow
 def test_exact_topk_membership_vs_lax_topk(rng, k):
     """>=1000 random production-vocab logit vectors per k: the mask equals
     ``logits >= k-th largest`` exactly (which is lax.top_k membership modulo
@@ -125,6 +126,7 @@ def test_gumbel_per_slot_isolation():
     assert not np.array_equal(ga[1], gb[1])
 
 
+@pytest.mark.slow
 def test_batched_kernel_per_slot_seed_isolation(rng):
     """Changing slot j's seed changes slot j's temp>0 codes ONLY (the round-2
     advisor finding: all slots previously rode slot 0's key)."""
@@ -152,6 +154,7 @@ def test_batched_kernel_per_slot_seed_isolation(rng):
     assert not np.array_equal(s_a[3], s_b[3])
 
 
+@pytest.mark.slow
 def test_temp_sampling_parity_xla_vs_kernels(rng):
     """temp>0 codes are bit-equal across XLA path, single-stream kernel and
     batched kernel (interpret, f32) for equal seeds — the counter-based

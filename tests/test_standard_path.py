@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from magpie_tts_tpu.io.magpie_weights import random_magpie_weights
 from magpie_tts_tpu.models.standard import final_projection, synthesize_codes_standard
@@ -12,6 +13,7 @@ CONFIG = tiny_magpie_config()
 WEIGHTS = random_magpie_weights(CONFIG, seed=11)
 
 
+@pytest.mark.slow
 def test_standard_equals_cached_greedy():
     """Both product paths must agree exactly at temp=0 (stronger than the
     reference, whose cached/uncached paths diverge — docs/STATUS.md:260-263)."""
