@@ -146,6 +146,36 @@ def main():
         except Exception as e:  # batched path must never break the headline
             print(f"bench: batched run failed: {e}", file=sys.stderr)
 
+    # f32 e2e at temp=0 — speed at the PARITY dtype (bit-exact greedy codes
+    # are guaranteed at f32 only; bf16 near-ties may flip, docs/PARITY.md).
+    # Pins the speed-at-parity point next to the bf16 headline (BENCH_F32=0
+    # skips; when BENCH_DTYPE=float32 the headline already is f32).
+    f32_fps = 0.0
+    if dtype_name == "float32":
+        f32_fps = best_fps
+    elif os.environ.get("BENCH_F32", "1") == "1":
+        try:
+            engine32 = MagpieEngine(weights, config, compute_dtype=jnp.float32)
+            codec32 = CodecEngine(codec_weights, codec_config,
+                                  compute_dtype=jnp.float32,
+                                  use_pallas=codec_pallas)
+            t0 = time.perf_counter()
+            synthesize_audio_fused(engine32, codec32, tokens, temperature=0.0,
+                                   top_k=80, seed=0)  # compile+first
+            print(f"bench: f32 compile+first-run {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+            for i in range(2):
+                t0 = time.perf_counter()
+                _audio32, nf32 = synthesize_audio_fused(
+                    engine32, codec32, tokens, temperature=0.0, top_k=80,
+                    seed=i + 1)
+                dt = time.perf_counter() - t0
+                f32_fps = max(f32_fps, nf32 / dt)
+            print(f"bench: f32 greedy e2e: {f32_fps:.1f} fps "
+                  f"({f32_fps / 21.5:.1f}x real-time)", file=sys.stderr)
+        except Exception as e:  # never break the headline metric
+            print(f"bench: f32 run failed: {e}", file=sys.stderr)
+
     baseline_fps = 154.0  # reference graph-reuse path on RTX 4080
     print(json.dumps({
         "metric": "e2e_codec_frames_per_sec",
@@ -162,6 +192,7 @@ def main():
             "batch": batch,
             "ttfa_ms": round(ttfa_ms, 1),
             "streaming_rtf": round(streaming_rtf, 2),
+            "e2e_fps_f32": round(f32_fps, 1),
         },
     }))
 

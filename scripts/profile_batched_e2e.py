@@ -32,6 +32,14 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+# One source of truth for the shapes/sampling knobs timed in BOTH the
+# public-API section and the raw-program section below — editing one without
+# the other would silently time two different compiled programs.
+BUCKET = 64
+TOP_K = 80
+TEMPERATURE = 0.7
+
+
 def main():
     B = int(os.environ.get("B", "64"))
     n_frames = int(os.environ.get("FRAMES", "300"))
@@ -40,7 +48,7 @@ def main():
     weights = random_magpie_weights(config, seed=0)
     engine = BatchedMagpieEngine(weights, config, batch_size=B, mesh=None,
                                  compute_dtype=jnp.bfloat16,
-                                 token_buckets=(64,))
+                                 token_buckets=(BUCKET,))
 
     tokens = list(np.random.default_rng(0).integers(2, 90, size=30))
     tokens = [config.text_bos_id] + tokens + [config.text_eos_id]
@@ -48,21 +56,22 @@ def main():
 
     # Warm/compile via the public API.
     t0 = time.perf_counter()
-    engine.synthesize_batch(tl, temperature=0.7, top_k=80, seed=0)
+    engine.synthesize_batch(tl, temperature=TEMPERATURE, top_k=TOP_K, seed=0)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # (a) full public API wall time
     for i in range(3):
         t0 = time.perf_counter()
-        outs = engine.synthesize_batch(tl, temperature=0.7, top_k=80, seed=i + 1)
+        outs = engine.synthesize_batch(tl, temperature=TEMPERATURE,
+                                       top_k=TOP_K, seed=i + 1)
         dt = time.perf_counter() - t0
         total = sum(o.shape[0] for o in outs)
         print(f"synthesize_batch rep{i}: {dt * 1e3:.1f} ms "
               f"({total / dt:.0f} agg fps)", file=sys.stderr)
 
     # (b) raw compiled program: dispatch -> block_until_ready, no D2H of codes
-    fn = engine._fn(64, 80)
-    tok = np.zeros((B, 64), np.int32)
+    fn = engine._fn(BUCKET, TOP_K)
+    tok = np.zeros((B, BUCKET), np.int32)
     for i in range(B):
         tok[i, : len(tokens)] = tokens
     enc_lengths = jnp.full((B,), len(tokens), jnp.int32)
@@ -74,7 +83,7 @@ def main():
         jax.block_until_ready(keys)
         t0 = time.perf_counter()
         codes, nf = fn(engine.weights, tok, enc_lengths, spk, keys,
-                       jnp.float32(0.7))
+                       jnp.float32(TEMPERATURE))
         jax.block_until_ready((codes, nf))
         dt = time.perf_counter() - t0
         print(f"raw program rep{i}: {dt * 1e3:.1f} ms "
