@@ -1,16 +1,23 @@
 """Device mesh + sharding rules.
 
-The reference is strictly single-device, batch-1 (SURVEY §2.5). The TPU framework
-adds two orthogonal axes:
+The reference is strictly single-device, batch-1 (SURVEY §2.5); multi-chip is
+new scope here, and its one scaling axis is **data parallelism**: each chip
+runs the whole fused-kernel program on its local batch slice — no collectives,
+throughput linear in chips.
 
-- ``data``: batch parallelism for multi-utterance serving — each chip runs whole
-  utterances; throughput scales with chips and per-chip batch.
-- ``model``: tensor parallelism over the feed-forward hidden dim and attention
-  projections (Megatron-style column/row sharding). XLA's SPMD partitioner
-  inserts the psum/all-gather collectives from the NamedSharding annotations;
-  they ride ICI inside a pod slice.
-
-All functions degrade gracefully to a 1x1 mesh on a single chip.
+Tensor parallelism is RETIRED (round 4), not merely unimplemented. It was
+built (Megatron column/row `NamedSharding` pspecs over a `model` axis),
+correctness-tested, and then measured: the batched Pallas frame kernel is a
+manually DMA-pipelined program the SPMD partitioner cannot split, so any
+tp>1 mesh had to run the pure-XLA step at 6259 µs/frame-batch vs the
+kernel's 1410 (B=32 bf16 slope probe, table in docs/DESIGN.md
+"Parallelism") — even a perfect 2-way split loses >2× to one chip running
+the kernels. A kernel-preserving tp would need the 12-layer megakernel cut
+into per-layer calls with 2 psums per layer, destroying the fusion that
+makes the step fast, for a model (357M ≈ 0.7 GB bf16 + caches) that fits a
+single v5e chip with >10 GB to spare. ``make_mesh`` therefore raises on
+``n_model > 1``; the mesh keeps a size-1 ``model`` axis so axis names stay
+stable for future larger-model work.
 """
 
 from __future__ import annotations
@@ -22,87 +29,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import MagpieConfig
-from ..io.magpie_weights import (DecoderWeights, EncoderWeights,
-                                 LocalTransformerWeights, MagpieWeights)
+from ..io.magpie_weights import MagpieWeights
 
 DATA_AXIS = "data"
-MODEL_AXIS = "model"
+MODEL_AXIS = "model"  # always size 1 — see module docstring
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    if n_model != 1:
+        raise ValueError(
+            "tensor parallelism is retired for Magpie-357M: the measured "
+            "XLA-step tp path costs 4.4x one chip running the fused kernels "
+            "and the model fits a single chip with margin (docs/DESIGN.md "
+            "'Parallelism'). Scale with n_data (data parallelism).")
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (
-        f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
-        f"have {len(devices)}")
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+        n_data = len(devices)
+    assert n_data <= len(devices), (
+        f"mesh {n_data}x1 needs {n_data} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n_data]).reshape(n_data, 1)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
-
-
-def magpie_weight_pspecs(config: MagpieConfig) -> MagpieWeights:
-    """PartitionSpec pytree for tensor-parallel weights over MODEL_AXIS.
-
-    Megatron layout: FFN proj column-sharded / out row-sharded; fused QKV
-    column-sharded with the attention recomposed by the partitioner; XA and
-    norms replicated (1 head / tiny).
-    """
-    r = P()  # replicated
-    enc = EncoderWeights(
-        pos_emb=r,
-        norm_self=r,
-        qkv=P(None, None, MODEL_AXIS),
-        sa_out=P(None, MODEL_AXIS, None),
-        norm_ff=r,
-        ff_proj=P(None, None, None, MODEL_AXIS),
-        ff_out=P(None, None, MODEL_AXIS, None),
-        norm_out=r,
-    )
-    dec = DecoderWeights(
-        pos_emb=r,
-        norm_self=r,
-        qkv=P(None, None, MODEL_AXIS),
-        sa_out=P(None, MODEL_AXIS, None),
-        norm_xa_q=r, norm_xa_mem=r,
-        xa_q=r, xa_kv=r, xa_out=r,
-        norm_ff=r,
-        ff_proj=P(None, None, MODEL_AXIS),
-        ff_out=P(None, MODEL_AXIS, None),
-        norm_out=r,
-    )
-    lt = LocalTransformerWeights(
-        in_proj_w=r, in_proj_b=r, pos_emb=r,
-        norm_self=r, qkv=r, sa_out=r, norm_ff=r,
-        ff_proj=P(None, MODEL_AXIS),
-        ff_out=P(MODEL_AXIS, None),
-        out_proj_w=P(None, None, MODEL_AXIS),
-        out_proj_b=P(None, MODEL_AXIS),
-    )
-    return MagpieWeights(
-        text_emb=r,
-        audio_emb=r,
-        baked_context=r,
-        encoder=enc,
-        decoder=dec,
-        final_proj_w=P(None, MODEL_AXIS),
-        final_proj_b=P(MODEL_AXIS),
-        lt=lt,
-    )
 
 
 def shard_weights(weights: MagpieWeights, mesh: Mesh,
                   config: Optional[MagpieConfig] = None) -> MagpieWeights:
-    """Place weights on the mesh with tensor-parallel shardings.
+    """Replicate weights across the (data-parallel) mesh.
 
-    ``config`` should be the weights' own config; today the pspecs are
-    shape-independent so the default is equivalent, but callers must not rely
-    on that staying true.
+    Every chip runs whole utterances, so every chip holds the full weights;
+    explicit placement here keeps jit from inserting a resharding transfer on
+    the first dispatch. ``config`` is accepted for signature stability.
     """
-    specs = magpie_weight_pspecs(config if config is not None else MagpieConfig())
-    return jax.tree.map(
-        lambda w, spec: jax.device_put(w, NamedSharding(mesh, spec)),
-        weights, specs)
+    del config
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda w: jax.device_put(w, sharding), weights)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

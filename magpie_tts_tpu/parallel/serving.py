@@ -3,8 +3,9 @@
 Throughput path the reference cannot express (it is structurally batch-1,
 SURVEY §2.5): B utterances decode in lockstep — the whole batched AR loop is one
 ``lax.while_loop`` that runs until every sequence hits EOS or the step budget.
-The batch axis shards over the mesh's ``data`` axis; weights shard over the
-``model`` axis per ``magpie_weight_pspecs``.
+The batch axis shards over the mesh's ``data`` axis via ``shard_map``; weights
+replicate (tensor parallelism is retired — rationale in ``parallel/mesh.py``
+and docs/DESIGN.md "Parallelism").
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..config import MagpieConfig
 from ..io.magpie_weights import MagpieWeights
@@ -67,52 +68,26 @@ class BatchedMagpieEngine:
         if fn is None:
             config = self.config
 
-            multi_device = self.mesh is not None and self.mesh.devices.size > 1
-            n_model = (dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
-                       [mesh_mod.MODEL_AXIS] if multi_device else 1)
-
             def program(weights, tokens, enc_lengths, speaker_ids, keys,
                         temperature):
-                # The batched pallas step kernel is not partitionable by the
-                # SPMD partitioner; under a tensor-parallel mesh the XLA step
-                # path runs instead (the partitioner shards it over data/model
-                # axes from the NamedSharding annotations).
                 return batched_synthesize_program(
                     tokens, enc_lengths, speaker_ids, keys, temperature,
-                    weights, config, top_k,
-                    use_pallas_decoder=False if multi_device else None)
+                    weights, config, top_k)
 
-            if multi_device and n_model == 1:
-                # Pure data parallelism: shard_map over the data axis — every
-                # chip runs the whole (pallas-accelerated) program on its local
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                # Data parallelism: shard_map over the data axis — every chip
+                # runs the whole (pallas-accelerated) program on its local
                 # batch slice; no collectives needed, and each shard's
-                # while_loop terminates on ITS OWN streams' EOS.
+                # while_loop terminates on ITS OWN streams' EOS. (Tensor
+                # parallelism is retired — parallel/mesh.py docstring.)
                 from jax.sharding import PartitionSpec as P
                 from jax import shard_map
 
-                def local_program(weights, tokens, enc_lengths, speaker_ids,
-                                  keys, temperature):
-                    return batched_synthesize_program(
-                        tokens, enc_lengths, speaker_ids, keys, temperature,
-                        weights, config, top_k)
-
                 d = P(mesh_mod.DATA_AXIS)
                 fn = jax.jit(shard_map(
-                    local_program, mesh=self.mesh,
+                    program, mesh=self.mesh,
                     in_specs=(P(), d, d, d, d, P()),
                     out_specs=(d, d), check_vma=False))
-            elif multi_device:
-                from .mesh import magpie_weight_pspecs
-                from jax.sharding import NamedSharding
-                data_sh = mesh_mod.batch_sharding(self.mesh)
-                rep = mesh_mod.replicated(self.mesh)
-                w_sh = jax.tree.map(
-                    lambda spec: NamedSharding(self.mesh, spec),
-                    magpie_weight_pspecs(config))
-                fn = jax.jit(program,
-                             in_shardings=(w_sh, data_sh, data_sh, data_sh,
-                                           data_sh, rep),
-                             out_shardings=(data_sh, data_sh))
             else:
                 fn = jax.jit(program)
             self._cache[key] = fn

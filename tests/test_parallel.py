@@ -1,4 +1,7 @@
-"""Multi-device tests on the 8-device virtual CPU mesh: dp+tp sharded serving."""
+"""Multi-device tests on the 8-device virtual CPU mesh: data-parallel serving.
+
+Tensor parallelism is retired (measured 4.4x slower than one chip running the
+fused kernels; rationale in parallel/mesh.py) - make_mesh must refuse it."""
 
 import jax
 import jax.numpy as jnp
@@ -22,26 +25,32 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_mesh_creation():
-    mesh = mesh_mod.make_mesh(n_data=4, n_model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = mesh_mod.make_mesh(n_data=4)
+    assert mesh.shape == {"data": 4, "model": 1}
 
 
-def test_shard_weights_places_on_mesh():
-    mesh = mesh_mod.make_mesh(n_data=2, n_model=4)
+def test_tensor_parallel_is_refused():
+    with pytest.raises(ValueError, match="retired"):
+        mesh_mod.make_mesh(n_data=4, n_model=2)
+
+
+def test_shard_weights_replicates_on_mesh():
+    mesh = mesh_mod.make_mesh(n_data=8)
     sharded = mesh_mod.shard_weights(WEIGHTS, mesh)
-    # FFN proj is column-sharded over 'model'
-    sh = sharded.decoder.ff_proj.sharding
-    assert sh.is_fully_replicated is False
+    # dp serving replicates weights: every chip runs whole utterances.
+    assert sharded.decoder.ff_proj.sharding.is_fully_replicated
     np.testing.assert_array_equal(np.asarray(sharded.decoder.ff_proj),
                                   np.asarray(WEIGHTS.decoder.ff_proj))
 
 
-@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("n_data", [8, 4, 2])
 @pytest.mark.slow
-def test_batched_sharded_greedy_matches_single(n_data, n_model):
-    """dp x tp sharded batched decode must reproduce the single-device greedy
-    codes exactly for every batch element."""
-    mesh = mesh_mod.make_mesh(n_data=n_data, n_model=n_model)
+def test_batched_sharded_greedy_matches_single(n_data):
+    """Data-parallel sharded batched decode must reproduce the single-device
+    greedy codes exactly for every batch element (incl. meshes smaller than
+    the device count)."""
+    mesh = mesh_mod.make_mesh(n_data=n_data,
+                              devices=jax.devices()[:n_data])
     batch = 8
     engine = BatchedMagpieEngine(WEIGHTS, CONFIG, batch_size=batch, mesh=mesh,
                                  token_buckets=(8, 16))
