@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-int8", action="store_true",
                    help="stream decoder weights as per-column int8 (half the "
                         "per-frame HBM traffic; ~Q8 quantization error)")
+    p.add_argument("--serve-q8", action="store_true",
+                   help="stream the checkpoint's OWN Q8_0 blocks (requires a "
+                        "Q8_0 GGUF): bit-identical to load-time dequant at "
+                        "~53%% of the bf16 weight traffic")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused per-frame megakernel (LT sampling + "
                         "decoder step in one pallas call); runs the separate "
@@ -103,6 +107,7 @@ def build_warmup_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=80)
     p.add_argument("--gelu", choices=("erf", "tanh"), default=None)
     p.add_argument("--serve-int8", action="store_true")
+    p.add_argument("--serve-q8", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
     return p
 
@@ -139,7 +144,8 @@ def warmup(argv) -> int:
     try:
         pipeline = MagpiePipeline.from_gguf(
             args.model, args.codec, compute_dtype=dtype,
-            serve_int8=args.serve_int8, gelu_flavor=args.gelu)
+            serve_int8=args.serve_int8, serve_q8=args.serve_q8,
+            gelu_flavor=args.gelu)
     except FileNotFoundError as e:
         print(f"error: model file not found: {e.filename or e}", file=sys.stderr)
         return 1
@@ -370,7 +376,7 @@ def main(argv=None) -> int:
     try:
         pipeline = MagpiePipeline.from_gguf(
             args.model, args.codec, compute_dtype=dtype,
-            serve_int8=args.serve_int8,
+            serve_int8=args.serve_int8, serve_q8=args.serve_q8,
             use_fused=False if args.no_fused else None,
             gelu_flavor=args.gelu)
     except FileNotFoundError as e:

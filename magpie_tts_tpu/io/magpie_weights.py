@@ -95,6 +95,125 @@ def _colquant(w: jnp.ndarray):
     return q, s
 
 
+@flax.struct.dataclass
+class Q8DecoderStream:
+    """The GGUF Q8_0 checkpoint's OWN blocks, streamed natively: int8 values
+    plus one f16-valued scale per 32 INPUT elements per output column
+    (ggml block layout, reference scripts/convert_magpie_to_gguf.py:79-104),
+    kept exactly as stored on disk instead of dequantized at load.
+
+    The kernels dequantize in-kernel (``w = repeat(s, 32, in-axis) * q`` in
+    f32, cast to the compute dtype): the product of an f16-valued scale and
+    an int8 value is EXACT in f32, so the streamed matmuls are bit-identical
+    to loading the same file through the ordinary dequantize-at-load path —
+    at ~53% of the bf16 weight traffic. Unlike Int8DecoderStream (a serving
+    REquantization, scales folded into matmul outputs), this is zero-
+    requantization-error fidelity to the quantized checkpoint.
+    """
+    qkv_q: jnp.ndarray      # [L, d_model, 3*d_model] int8
+    qkv_bs: jnp.ndarray     # [L, d_model//32, 3*d_model] f32 (f16-valued)
+    sa_out_q: jnp.ndarray   # [L, d_model, d_model] int8
+    sa_out_bs: jnp.ndarray  # [L, d_model//32, d_model] f32
+    ff_proj_q: jnp.ndarray  # [L, d_model, d_ffn] int8
+    ff_proj_bs: jnp.ndarray # [L, d_model//32, d_ffn] f32
+    ff_out_q: jnp.ndarray   # [L, d_ffn, d_model] int8
+    ff_out_bs: jnp.ndarray  # [L, d_ffn//32, d_model] f32
+
+
+def _q8_split_t(payload: np.ndarray, out_dim: int, in_dim: int):
+    """Raw Q8_0 payload of a [out, in] (torch-layout) tensor ->
+    (q [in, out] int8, s [in//32, out] f32). ggml blocks run along the
+    contiguous ``in`` axis; both arrays are transposed to the repo's
+    [in, out] matmul convention."""
+    from . import quant
+
+    q, s = quant.split_q8_0(payload, out_dim * in_dim)
+    q = q.reshape(out_dim, in_dim).T                      # [in, out]
+    s = s.reshape(out_dim, in_dim // quant.QK).T          # [in//32, out]
+    return np.ascontiguousarray(q), np.ascontiguousarray(s)
+
+
+def q8_stream_from_gguf(reader, config) -> "Q8DecoderStream":
+    """Build the native Q8_0 stream from a Q8_0-quantized Magpie GGUF.
+
+    Raises ValueError if any of the four streamed decoder matrices is not
+    stored as Q8_0 (mixed checkpoints fall back to load-time dequant).
+    """
+    from .gguf import GGML_Q8_0
+
+    c = config
+    D, F = c.d_model, c.d_ffn
+
+    def pull(fmt, out_dim, in_dim, conv=False):
+        qs, ss = [], []
+        for layer in range(c.dec_layers):
+            name = fmt.format(layer)
+            info = reader.tensors[name]
+            if info.ggml_type != GGML_Q8_0:
+                raise ValueError(
+                    f"{name}: not Q8_0 (type {info.ggml_type}); "
+                    "Q8_0-native streaming needs a fully Q8_0 decoder")
+            q, s = _q8_split_t(reader.raw(name), out_dim, in_dim)
+            qs.append(q)
+            ss.append(s)
+        return np.stack(qs), np.stack(ss)
+
+    qkv_q, qkv_s = pull("decoder.layers.{}.self_attention.qkv_net.weight",
+                        3 * D, D)
+    sao_q, sao_s = pull("decoder.layers.{}.self_attention.o_net.weight", D, D)
+    # conv weights are [out, in, 1]: the trailing unit dim doesn't change the
+    # contiguous block order, so the same split applies.
+    ffp_q, ffp_s = pull("decoder.layers.{}.pos_ff.proj.conv.weight", F, D)
+    ffo_q, ffo_s = pull("decoder.layers.{}.pos_ff.o_net.conv.weight", D, F)
+    import jax
+
+    return jax.tree.map(jnp.asarray, Q8DecoderStream(
+        qkv_q=qkv_q, qkv_bs=qkv_s, sa_out_q=sao_q, sa_out_bs=sao_s,
+        ff_proj_q=ffp_q, ff_proj_bs=ffp_s, ff_out_q=ffo_q, ff_out_bs=ffo_s))
+
+
+def q8_stream_from_arrays(dec: "DecoderWeights") -> "Q8DecoderStream":
+    """Round-trip float decoder weights through the Q8_0 byte codec (tests /
+    benchmarks on synthetic weights; real checkpoints use q8_stream_from_gguf).
+    The matching dequantized-weights oracle is ``q8_dequantized_decoder``."""
+    from . import quant
+
+    def rt(w):  # [L, in, out] float -> per-layer torch-layout [out, in] bytes
+        qs, ss = [], []
+        L = w.shape[0]
+        for layer in range(L):
+            t = np.asarray(w[layer], np.float32).T        # [out, in]
+            payload = np.frombuffer(quant.quantize_q8_0(t), np.uint8)
+            q, s = _q8_split_t(payload, t.shape[0], t.shape[1])
+            qs.append(q)
+            ss.append(s)
+        return np.stack(qs), np.stack(ss)
+
+    qkv_q, qkv_s = rt(dec.qkv)
+    sao_q, sao_s = rt(dec.sa_out)
+    ffp_q, ffp_s = rt(dec.ff_proj)
+    ffo_q, ffo_s = rt(dec.ff_out)
+    import jax
+
+    return jax.tree.map(jnp.asarray, Q8DecoderStream(
+        qkv_q=qkv_q, qkv_bs=qkv_s, sa_out_q=sao_q, sa_out_bs=sao_s,
+        ff_proj_q=ffp_q, ff_proj_bs=ffp_s, ff_out_q=ffo_q, ff_out_bs=ffo_s))
+
+
+def q8_dequantized_decoder(dec: "DecoderWeights",
+                           q8: "Q8DecoderStream") -> "DecoderWeights":
+    """The load-time-dequant oracle for a Q8 stream: decoder weights with the
+    four streamed matrices replaced by their block-dequantized values."""
+    def deq(q, s):
+        rep = jnp.repeat(s.astype(jnp.float32), 32, axis=1)   # [L, in, out]
+        return rep * q.astype(jnp.float32)
+
+    return dec.replace(qkv=deq(q8.qkv_q, q8.qkv_bs),
+                       sa_out=deq(q8.sa_out_q, q8.sa_out_bs),
+                       ff_proj=deq(q8.ff_proj_q, q8.ff_proj_bs),
+                       ff_out=deq(q8.ff_out_q, q8.ff_out_bs))
+
+
 def quantize_decoder_stream(dec: "DecoderWeights") -> Int8DecoderStream:
     qkv_q, qkv_s = _colquant(dec.qkv)
     sao_q, sao_s = _colquant(dec.sa_out)

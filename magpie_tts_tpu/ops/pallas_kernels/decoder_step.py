@@ -46,14 +46,29 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
             x_ref, qkv_buf, sao_buf, ffp_buf, ffo_buf, kbuf, vbuf, sems, *,
             n_layers: int, d_model: int, n_heads: int, d_xa: int,
             max_seq: int, enc_pad: int, eps: float, gelu_tanh: bool,
-            gelu_fn):
+            gelu_fn, q8_blocks: bool = False):
     l = pl.program_id(0)
     pos = scal_ref[0]
     enc_len = scal_ref[1]
     d_head = d_model // n_heads
     # Streamed weights may be serving-quantized int8 (dequant = scaling the
-    # matmul OUTPUT by the per-column scale vectors); compute stays in x dtype.
+    # matmul OUTPUT by the per-column scale vectors) or the GGUF Q8_0 blocks
+    # themselves (dequant in stream_w); compute stays in x dtype.
     wdt = x_in_ref.dtype
+
+    def stream_w(buf_ref, s_ref):
+        # Q8_0-native: s (f16-valued f32, one per 32 input rows) x int8 q is
+        # EXACT in f32 -> tile bit-identical to load-time dequant (see
+        # frame_step.py / io.magpie_weights.Q8DecoderStream).
+        if not q8_blocks:
+            return buf_ref[...].astype(wdt)
+        s = jnp.repeat(s_ref[0].astype(jnp.float32), 32, axis=0)
+        return (s * buf_ref[...].astype(jnp.float32)).astype(wdt)
+
+    def out_scale(v, s_ref):
+        if q8_blocks:  # scales already consumed by stream_w
+            return v
+        return v * s_ref[0].astype(jnp.float32)
 
     def dma(src, dst, sem_idx):
         return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
@@ -80,8 +95,8 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     # wdt, residual adds stay f32.
     h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
     dma(qkv_hbm.at[l], qkv_buf, 0).wait()
-    qkv = dot_hi(h, qkv_buf[...].astype(wdt))  # (1, 3d) f32
-    qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
+    qkv = dot_hi(h, stream_w(qkv_buf, qkv_s_ref))  # (1, 3d) f32
+    qkv = out_scale(qkv, qkv_s_ref).astype(wdt)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_qkv():
@@ -135,8 +150,8 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     attn = dot_hi(ones_h, pv * seg.T)                      # [1, d]
 
     dma(sao_hbm.at[l], sao_buf, 3).wait()
-    x = x + (dot_hi(attn.astype(wdt), sao_buf[...].astype(wdt))
-             * sao_s_ref[0].astype(jnp.float32))
+    x = x + out_scale(dot_hi(attn.astype(wdt),
+                              stream_w(sao_buf, sao_s_ref)), sao_s_ref)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_sao():
@@ -165,8 +180,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     # ---- FFN (pointwise) ----
     hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
     dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-    f = (dot_hi(hf, ffp_buf[...].astype(wdt))
-         * ffp_s_ref[0].astype(jnp.float32))
+    f = out_scale(dot_hi(hf, stream_w(ffp_buf, ffp_s_ref)), ffp_s_ref)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_ffp():
@@ -174,8 +188,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     f = gelu_fn(f).astype(wdt)
     dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-    x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
-             * ffo_s_ref[0].astype(jnp.float32))
+    x = x + out_scale(dot_hi(f, stream_w(ffo_buf, ffo_s_ref)), ffo_s_ref)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_ffo():
@@ -221,17 +234,29 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
     if enc_length is None:
         enc_length = jnp.int32(E)
 
-    if int8_stream is None:
+    from ...io.magpie_weights import Q8DecoderStream
+
+    q8_blocks = isinstance(int8_stream, Q8DecoderStream)
+    if q8_blocks:
+        s = int8_stream
+        qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
+        qkv_s, sao_s = s.qkv_bs, s.sa_out_bs
+        ffp_s, ffo_s = s.ff_proj_bs, s.ff_out_bs
+        stream_dtype = jnp.int8
+    elif int8_stream is None:
         qkv_w, sao_w = dec.qkv.astype(dtype), dec.sa_out.astype(dtype)
         ffp_w, ffo_w = dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype)
-        ones = lambda n: jnp.ones((c.dec_layers, n), jnp.float32)
+        ones = lambda n: jnp.ones((c.dec_layers, 1, n), jnp.float32)
         qkv_s, sao_s = ones(3 * D), ones(D)
         ffp_s, ffo_s = ones(c.d_ffn), ones(D)
         stream_dtype = dtype
     else:
         s = int8_stream
         qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
-        qkv_s, sao_s, ffp_s, ffo_s = s.qkv_s, s.sa_out_s, s.ff_proj_s, s.ff_out_s
+        qkv_s = s.qkv_s[:, None, :]
+        sao_s = s.sa_out_s[:, None, :]
+        ffp_s = s.ff_proj_s[:, None, :]
+        ffo_s = s.ff_out_s[:, None, :]
         stream_dtype = jnp.int8
 
     x_in = (x + dec.pos_emb[pos]).astype(dtype).reshape(1, D)
@@ -249,7 +274,7 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
     kernel = functools.partial(
         _kernel, n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
         d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps, gelu_tanh=gelu_tanh,
-        gelu_fn=gelu_fn)
+        gelu_fn=gelu_fn, q8_blocks=q8_blocks)
 
     grid = (c.dec_layers,)
     vmem_block = lambda *blk, im=None: pl.BlockSpec(
@@ -270,10 +295,10 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
             pl.BlockSpec((1, E, c.d_xa), lambda l: (l, 0, 0)),  # xa_k
             pl.BlockSpec((1, E, c.d_xa), lambda l: (l, 0, 0)),  # xa_v
             pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars
-            pl.BlockSpec((1, 1, 3 * D), lambda l: (l, 0, 0)),   # qkv scales
-            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0)),       # sa_out scales
-            pl.BlockSpec((1, 1, c.d_ffn), lambda l: (l, 0, 0)),  # ff_proj scales
-            pl.BlockSpec((1, 1, D), lambda l: (l, 0, 0)),       # ff_out scales
+            pl.BlockSpec((1,) + qkv_s.shape[1:], lambda l: (l, 0, 0)),
+            pl.BlockSpec((1,) + sao_s.shape[1:], lambda l: (l, 0, 0)),
+            pl.BlockSpec((1,) + ffp_s.shape[1:], lambda l: (l, 0, 0)),
+            pl.BlockSpec((1,) + ffo_s.shape[1:], lambda l: (l, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),               # qkv_hbm
             pl.BlockSpec(memory_space=pltpu.HBM),               # sao_hbm
             pl.BlockSpec(memory_space=pltpu.HBM),               # ffp_hbm
@@ -304,7 +329,7 @@ def decode_step_pallas(x: jnp.ndarray, pos: jnp.ndarray,
     )(x_in, norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
       dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
       xa_k.astype(dtype), xa_v.astype(dtype), scal,
-      qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
+      qkv_s, sao_s, ffp_s, ffo_s,
       qkv_w, sao_w, ffp_w, ffo_w,
       k_cache, v_cache)
 

@@ -62,12 +62,26 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
             kbufs, vbufs, sems, *,
             n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
             d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int,
-            gelu_tanh: bool = False):
+            gelu_tanh: bool = False, q8_blocks: bool = False):
     l = pl.program_id(0)
     pos = scal_ref[0]
     d_head = d_model // n_heads
     wdt = x_in_ref.dtype
     n_groups = n_batch // gb
+
+    def stream_w(buf_ref, s_ref):
+        # Q8_0-native: s (f16-valued f32, one per 32 input rows) x int8 q is
+        # EXACT in f32 -> tile bit-identical to load-time dequant (see
+        # frame_step.py / io.magpie_weights.Q8DecoderStream).
+        if not q8_blocks:
+            return buf_ref[...].astype(wdt)
+        s = jnp.repeat(s_ref[0].astype(jnp.float32), 32, axis=0)
+        return (s * buf_ref[...].astype(jnp.float32)).astype(wdt)
+
+    def out_scale(v, s_ref):
+        if q8_blocks:  # scales already consumed by stream_w
+            return v
+        return v * s_ref[0].astype(jnp.float32)
     S = max_seq
     cascade = 0 < s_half < S
     variants = (s_half, S) if cascade else (S,)
@@ -128,8 +142,8 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     # ---- self-attention ----
     h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
     dma(qkv_hbm.at[l], qkv_sc, 0).wait()
-    qkv = dot_hi(h, qkv_sc[...].astype(wdt))                    # [B, 3D]
-    qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
+    qkv = dot_hi(h, stream_w(qkv_sc, qkv_s_ref))                # [B, 3D]
+    qkv = out_scale(qkv, qkv_s_ref).astype(wdt)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_qkv():
@@ -213,8 +227,8 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
             vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).wait()
 
     dma(sao_hbm.at[l], sao_buf, 3).wait()
-    x = x + (dot_hi(attn_ref[...].astype(wdt), sao_buf[...].astype(wdt))
-             * sao_s_ref[0].astype(jnp.float32))
+    x = x + out_scale(dot_hi(attn_ref[...].astype(wdt),
+                              stream_w(sao_buf, sao_s_ref)), sao_s_ref)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_sao():
@@ -242,8 +256,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
     # ---- FFN (pointwise) ----
     hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
     dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-    f = (dot_hi(hf, ffp_buf[...].astype(wdt))
-         * ffp_s_ref[0].astype(jnp.float32))
+    f = out_scale(dot_hi(hf, stream_w(ffp_buf, ffp_s_ref)), ffp_s_ref)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_ffp():
@@ -251,8 +264,7 @@ def _kernel(x_in_ref, norms_ref, final_norm_ref, xa_q_ref, xa_out_ref,
 
     f = gelu_kernel(f, approximate=gelu_tanh).astype(wdt)
     dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-    x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
-             * ffo_s_ref[0].astype(jnp.float32))
+    x = x + out_scale(dot_hi(f, stream_w(ffo_buf, ffo_s_ref)), ffo_s_ref)
 
     @pl.when(l < n_layers - 1)
     def _prefetch_ffo():
@@ -289,17 +301,29 @@ def decode_step_batched_pallas(
     gb = min(B, 8)
     assert B % gb == 0, (B, gb)
 
-    if int8_stream is None:
+    from ...io.magpie_weights import Q8DecoderStream
+
+    q8_blocks = isinstance(int8_stream, Q8DecoderStream)
+    if q8_blocks:
+        s = int8_stream
+        qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
+        qkv_s, sao_s = s.qkv_bs, s.sa_out_bs
+        ffp_s, ffo_s = s.ff_proj_bs, s.ff_out_bs
+        stream_dtype = jnp.int8
+    elif int8_stream is None:
         qkv_w, sao_w = dec.qkv.astype(dtype), dec.sa_out.astype(dtype)
         ffp_w, ffo_w = dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype)
-        ones = lambda n: jnp.ones((c.dec_layers, n), jnp.float32)
+        ones = lambda n: jnp.ones((c.dec_layers, 1, n), jnp.float32)
         qkv_s, sao_s = ones(3 * D), ones(D)
         ffp_s, ffo_s = ones(c.d_ffn), ones(D)
         stream_dtype = dtype
     else:
         s = int8_stream
         qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
-        qkv_s, sao_s, ffp_s, ffo_s = s.qkv_s, s.sa_out_s, s.ff_proj_s, s.ff_out_s
+        qkv_s = s.qkv_s[:, None, :]
+        sao_s = s.sa_out_s[:, None, :]
+        ffp_s = s.ff_proj_s[:, None, :]
+        ffo_s = s.ff_out_s[:, None, :]
         stream_dtype = jnp.int8
 
     norms = jnp.stack([dec.norm_self, dec.norm_xa_q, dec.norm_ff],
@@ -321,7 +345,7 @@ def decode_step_batched_pallas(
     kernel = functools.partial(
         _kernel, n_layers=c.dec_layers, n_batch=B, gb=gb, d_model=D,
         n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps,
-        s_half=s_half, gelu_tanh=c.gelu_tanh)
+        s_half=s_half, gelu_tanh=c.gelu_tanh, q8_blocks=q8_blocks)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda l: tuple(0 for _ in blk))
     per_l = lambda *blk: pl.BlockSpec(
@@ -344,10 +368,10 @@ def decode_step_batched_pallas(
             const(B, S),                                     # valid (i32)
             const(B, 1),                                     # enc_lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),           # scal
-            per_l(1, 1, 3 * D),                              # qkv scales
-            per_l(1, 1, D),                                  # sa_out scales
-            per_l(1, 1, c.d_ffn),                            # ff_proj scales
-            per_l(1, 1, D),                                  # ff_out scales
+            per_l(1, *qkv_s.shape[1:]),           # qkv scales (cols/q8)
+            per_l(1, *sao_s.shape[1:]),           # sa_out scales
+            per_l(1, *ffp_s.shape[1:]),           # ff_proj scales
+            per_l(1, *ffo_s.shape[1:]),           # ff_out scales
             pl.BlockSpec(memory_space=pltpu.HBM),            # qkv
             pl.BlockSpec(memory_space=pltpu.HBM),            # sao
             pl.BlockSpec(memory_space=pltpu.HBM),            # ffp
@@ -379,7 +403,7 @@ def decode_step_batched_pallas(
       xa_k.astype(dtype), xa_v.astype(dtype),
       valid.astype(jnp.int32), enc_lengths.astype(jnp.int32).reshape(B, 1),
       scal,
-      qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
+      qkv_s, sao_s, ffp_s, ffo_s,
       qkv_w, sao_w, ffp_w, ffo_w, k_cache, v_cache)
 
     return hidden, k_out, v_out

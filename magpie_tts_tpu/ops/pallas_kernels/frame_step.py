@@ -62,11 +62,30 @@ def _kernel(hidden_ref, posemb_ref,
             audio_bos_id: int, audio_eos_id: int,
             n_layers: int, d_model: int, n_heads: int, d_xa: int,
             max_seq: int, enc_pad: int, eps: float, cache_chunk: int,
-            gelu_tanh: bool = False):
+            gelu_tanh: bool = False, q8_blocks: bool = False):
     i = pl.program_id(0)
     pos = scal_ref[0]
     enc_len = scal_ref[1]
     wdt = hidden_ref.dtype
+
+    def stream_w(buf_ref, s_ref):
+        """Weight tile for a streamed matmul. Q8_0-native mode dequantizes
+        in-kernel: s (f16-valued f32, one per 32 input rows) x int8 q is
+        EXACT in f32, so the cast-to-wdt tile is bit-identical to streaming
+        the load-time-dequantized weights (io/magpie_weights.Q8DecoderStream).
+        """
+        if not q8_blocks:
+            return buf_ref[...].astype(wdt)
+        s = jnp.repeat(s_ref[0].astype(jnp.float32), 32, axis=0)
+        return (s * buf_ref[...].astype(jnp.float32)).astype(wdt)
+
+    def out_scale(x, s_ref):
+        """Int8-column mode scales matmul OUTPUTS (dense mode's scales are
+        ones — an exact multiply); Q8 mode's scales are already consumed by
+        stream_w, so the f32 result passes through untouched."""
+        if q8_blocks:
+            return x
+        return x * s_ref[0].astype(jnp.float32)
 
     def dma(src, dst, sem_idx):
         return pltpu.make_async_copy(src, dst, sems.at[sem_idx])
@@ -172,7 +191,8 @@ def _kernel(hidden_ref, posemb_ref,
         # top-k bisection + Gumbel draw entirely (cf. frame_step_batched.py).
         @pl.when(temp >= 0.01)
         def _draw():
-            in_topk = _sampling.exact_topk_mask(logits[None, :], top_k)[0]
+            in_topk = _sampling.exact_topk_mask(logits[None, :], top_k,
+                                                early_exit=True)[0]
             base = _sampling.phase_seed(flags_ref[1], cb)
             cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, vocab), 1)
             gumbel = _sampling.gumbel_from_seed(base, cols2)[0]
@@ -227,8 +247,8 @@ def _kernel(hidden_ref, posemb_ref,
         # int8 vs ~10us compute; serial waits cost ~40% otherwise).
         h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
         dma(qkv_hbm.at[l], qkv_buf, 0).wait()
-        qkv = dot_hi(h, qkv_buf[...].astype(wdt))
-        qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
+        qkv = dot_hi(h, stream_w(qkv_buf, qkv_s_ref))
+        qkv = out_scale(qkv, qkv_s_ref).astype(wdt)
 
         @pl.when(l < n_layers - 1)
         def _prefetch_qkv():
@@ -272,8 +292,8 @@ def _kernel(hidden_ref, posemb_ref,
         attn = dot_hi(ones_h, pv * seg.T)
 
         dma(sao_hbm.at[l], sao_buf, 3).wait()
-        x = x + (dot_hi(attn.astype(wdt), sao_buf[...].astype(wdt))
-                 * sao_s_ref[0].astype(jnp.float32))
+        x = x + out_scale(dot_hi(attn.astype(wdt),
+                                 stream_w(sao_buf, sao_s_ref)), sao_s_ref)
 
         @pl.when(l < n_layers - 1)
         def _prefetch_sao():
@@ -297,8 +317,7 @@ def _kernel(hidden_ref, posemb_ref,
 
         hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
         dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-        f = (dot_hi(hf, ffp_buf[...].astype(wdt))
-             * ffp_s_ref[0].astype(jnp.float32))
+        f = out_scale(dot_hi(hf, stream_w(ffp_buf, ffp_s_ref)), ffp_s_ref)
 
         @pl.when(l < n_layers - 1)
         def _prefetch_ffp():
@@ -306,8 +325,7 @@ def _kernel(hidden_ref, posemb_ref,
 
         f = gelu_kernel(f, approximate=gelu_tanh).astype(wdt)
         dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-        x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
-                 * ffo_s_ref[0].astype(jnp.float32))
+        x = x + out_scale(dot_hi(f, stream_w(ffo_buf, ffo_s_ref)), ffo_s_ref)
 
         @pl.when(l < n_layers - 1)
         def _prefetch_ffo():
@@ -335,7 +353,7 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
                       seed: jnp.ndarray, temperature: jnp.ndarray,
                       top_k: int, forbid_eos: jnp.ndarray,
                       enc_length: Optional[jnp.ndarray] = None,
-                      int8_stream=None,
+                      int8_stream=None, q8_stream=None,
                       interpret: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                  jnp.ndarray, jnp.ndarray]:
@@ -345,7 +363,12 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
     Caches update in place (aliased). ``pos`` is the cache slot the NEW frame's
     K/V are written to.
     """
+    from ...io.magpie_weights import Q8DecoderStream
     from .lt_sampler import _pad_rows_to_16
+
+    if q8_stream is None and isinstance(int8_stream, Q8DecoderStream):
+        # Callers thread one "stream" slot; dispatch on its type.
+        q8_stream, int8_stream = int8_stream, None
 
     dec = weights.decoder
     lt = weights.lt
@@ -357,17 +380,28 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
         enc_length = jnp.int32(E)
     top_k = min(top_k, c.vocab_per_cb)
 
-    if int8_stream is None:
+    assert int8_stream is None or q8_stream is None, \
+        "int8_stream and q8_stream are mutually exclusive"
+    if q8_stream is not None:
+        s = q8_stream
+        qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
+        qkv_s, sao_s = s.qkv_bs, s.sa_out_bs
+        ffp_s, ffo_s = s.ff_proj_bs, s.ff_out_bs
+        stream_dtype = jnp.int8
+    elif int8_stream is None:
         qkv_w, sao_w = dec.qkv.astype(dtype), dec.sa_out.astype(dtype)
         ffp_w, ffo_w = dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype)
-        ones = lambda n: jnp.ones((c.dec_layers, n), jnp.float32)
+        ones = lambda n: jnp.ones((c.dec_layers, 1, n), jnp.float32)
         qkv_s, sao_s = ones(3 * D), ones(D)
         ffp_s, ffo_s = ones(c.d_ffn), ones(D)
         stream_dtype = dtype
     else:
         s = int8_stream
         qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
-        qkv_s, sao_s, ffp_s, ffo_s = s.qkv_s, s.sa_out_s, s.ff_proj_s, s.ff_out_s
+        qkv_s = s.qkv_s[:, None, :]
+        sao_s = s.sa_out_s[:, None, :]
+        ffp_s = s.ff_proj_s[:, None, :]
+        ffo_s = s.ff_out_s[:, None, :]
         stream_dtype = jnp.int8
 
     posemb_row = jax.lax.dynamic_slice_in_dim(
@@ -401,7 +435,8 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
         top_k=top_k, audio_bos_id=c.audio_bos_id, audio_eos_id=c.audio_eos_id,
         n_layers=c.dec_layers, d_model=D, n_heads=c.dec_sa_heads,
         d_xa=c.d_xa, max_seq=S, enc_pad=E, eps=c.eps,
-        cache_chunk=cache_chunk, gelu_tanh=c.gelu_tanh)
+        cache_chunk=cache_chunk, gelu_tanh=c.gelu_tanh,
+        q8_blocks=q8_stream is not None)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(
@@ -438,10 +473,10 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
             dec_blk(1, c.d_xa, D),             # xa_out
             dec_blk(1, E, c.d_xa),             # xa_k
             dec_blk(1, E, c.d_xa),             # xa_v
-            dec_blk(1, 1, 3 * D),              # qkv scales
-            dec_blk(1, 1, D),                  # sa_out scales
-            dec_blk(1, 1, c.d_ffn),            # ff_proj scales
-            dec_blk(1, 1, D),                  # ff_out scales
+            dec_blk(1, *qkv_s.shape[1:]),      # qkv scales (cols or q8 blocks)
+            dec_blk(1, *sao_s.shape[1:]),      # sa_out scales
+            dec_blk(1, *ffp_s.shape[1:]),      # ff_proj scales
+            dec_blk(1, *ffo_s.shape[1:]),      # ff_out scales
             pl.BlockSpec(memory_space=pltpu.SMEM),   # temperature
             pl.BlockSpec(memory_space=pltpu.SMEM),   # flags
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal
@@ -488,7 +523,7 @@ def frame_step_pallas(hidden: jnp.ndarray, pos: jnp.ndarray,
       norms, dec.norm_out.astype(jnp.float32).reshape(1, D),
       dec.xa_q.astype(dtype), dec.xa_out.astype(dtype),
       xa_k.astype(dtype), xa_v.astype(dtype),
-      qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
+      qkv_s, sao_s, ffp_s, ffo_s,
       temp_arr, flags, scal,
       _pad_rows_to_16(weights.audio_emb.astype(dtype)),
       qkv_w, sao_w, ffp_w, ffo_w, k_cache, v_cache)

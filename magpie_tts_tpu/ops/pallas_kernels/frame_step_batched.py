@@ -59,6 +59,21 @@ _NEG = -1e30
 # qkv/sao/ffp/ffo HBM streams + their matmuls), "noxa" (skip cross-attention).
 _ABLATE = ""
 
+# Cache-buffer depth: 2 = classic double-buffer (group g+1 streams while
+# group g attends; layer l+1 group 0 starts after layer l's sa_out).
+# n_groups (= "deep" mode) gives every group its own VMEM buffer and a full
+# LAYER of DMA lookahead: layer l+1's group-g stream starts the moment layer
+# l's group g finishes (and ALL of layer 0 streams under the LT phases, which
+# are otherwise DMA-idle VPU time). Costs (n_groups-2)*2*gb*S*D*itemsize of
+# VMEM, so the host clamps to the classic depth when the buffers don't fit
+# (f32 caches, B=64). Measured (slope, v5e, B=32 bf16 temp 0.7, pos 150/450):
+# deep 704/1199 vs classic 744/1264 us/step. Bit-identical outputs (DMA
+# scheduling only); pinned by test_frame_step_batched_deep_buffers_bitexact.
+_NBUF = int(os.environ.get("MAGPIE_CACHE_BUFS", "4"))
+# K+V group-buffer VMEM budget for the deep mode (bf16 B=32 uses 63MB; the
+# rest of the kernel's scratch + pipeline blocks needs ~45MB of the 128MB).
+_DEEP_BYTES_MAX = 72 * 1024 * 1024
+
 
 def _ln(x, w, eps):
     xf = x.astype(jnp.float32)
@@ -90,13 +105,30 @@ def _kernel(hidden_ref, posemb_ref,
             audio_bos_id: int, audio_eos_id: int,
             n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
             d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int,
-            cache_chunk: int, gelu_tanh: bool = False):
+            cache_chunk: int, gelu_tanh: bool = False, n_buf: int = 2,
+            q8_blocks: bool = False):
     i = pl.program_id(0)
     pos = scal_ref[0]
     B = n_batch
     R = B * _SEQ
     wdt = hidden_ref.dtype
     n_groups = n_batch // gb
+    deep = n_buf >= n_groups      # one buffer per group: full-layer lookahead
+    wb0 = 8 + 2 * n_buf           # writeback semaphores sit past the cache ones
+
+    def stream_dec_w(buf_ref, s_ref):
+        # Q8_0-native: s (f16-valued f32, one per 32 input rows) x int8 q is
+        # EXACT in f32 -> tile bit-identical to load-time dequant (see
+        # frame_step.py / io.magpie_weights.Q8DecoderStream).
+        if not q8_blocks:
+            return buf_ref[...].astype(wdt)
+        s = jnp.repeat(s_ref[0].astype(jnp.float32), 32, axis=0)
+        return (s * buf_ref[...].astype(jnp.float32)).astype(wdt)
+
+    def out_scale(v, s_ref):
+        if q8_blocks:  # scales already consumed by stream_dec_w
+            return v
+        return v * s_ref[0].astype(jnp.float32)
     S = max_seq
     cascade = 0 < s_half < S
     variants = (s_half, S) if cascade else (S,)
@@ -185,7 +217,13 @@ def _kernel(hidden_ref, posemb_ref,
             dma(ffp_hbm.at[0], ffp_buf, 6).start()
             dma(ffo_hbm.at[0], ffo_buf, 7).start()
         if "nocache" not in _ABLATE:                                # probe-only
-            cache_start(0, 0, 8, 0)
+            if deep:
+                # Deep mode: ALL of layer 0's cache streams under the LT
+                # phases (each group owns a buffer, so nothing blocks).
+                for g0 in range(n_groups):
+                    cache_start(g0, g0, 8 + 2 * g0, 0)
+            else:
+                cache_start(0, 0, 8, 0)
 
     # ======================= LT phases (i in [0, n_cb)) =====================
     @pl.when(i < n_cb)
@@ -349,8 +387,8 @@ def _kernel(hidden_ref, posemb_ref,
             qkv = jnp.zeros((n_batch, 3 * d_model), wdt) + h[:, :1]
         else:
             dma(qkv_hbm.at[l], qkv_sc, 0).wait()
-            qkv = dot_hi(h, qkv_sc[...].astype(wdt))                # [B, 3D]
-            qkv = (qkv * qkv_s_ref[0].astype(jnp.float32)).astype(wdt)
+            qkv = dot_hi(h, stream_dec_w(qkv_sc, qkv_s_ref))        # [B, 3D]
+            qkv = out_scale(qkv, qkv_s_ref).astype(wdt)
 
             @pl.when(l < n_layers - 1)
             def _prefetch_qkv():
@@ -364,12 +402,14 @@ def _kernel(hidden_ref, posemb_ref,
 
         base = (pos // 16) * 16
         for g in range(n_groups):
-            buf = g % 2
+            buf = g % n_buf
+            sem_base = 8 + 2 * buf
             lo = g * gb
             if "nocache" not in _ABLATE:                            # probe-only
-                if g + 1 < n_groups:
-                    cache_start(g + 1, (g + 1) % 2, 8 + 2 * ((g + 1) % 2), l)
-                cache_wait(g, buf, 8 + 2 * buf, l)
+                if not deep and g + 1 < n_groups:
+                    cache_start(g + 1, (g + 1) % n_buf,
+                                8 + 2 * ((g + 1) % n_buf), l)
+                cache_wait(g, buf, sem_base, l)
 
                 k_new = qkv[lo:lo + gb, d_model:2 * d_model].astype(kbufs.dtype)
                 v_new = qkv[lo:lo + gb, 2 * d_model:].astype(vbufs.dtype)
@@ -380,9 +420,10 @@ def _kernel(hidden_ref, posemb_ref,
                     wrows + base == pos, v_new[:, None, :],
                     vbufs[buf, :, pl.ds(base, 16), :])
                 dma(kbufs.at[buf, :, pl.ds(base, 16)],
-                    kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).start()
+                    kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], wb0).start()
                 dma(vbufs.at[buf, :, pl.ds(base, 16)],
-                    vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).start()
+                    vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)],
+                    wb0 + 1).start()
 
             if "noattend" in _ABLATE:                               # probe-only
                 attn_ref[lo:lo + gb, :] = qkv[lo:lo + gb,
@@ -390,10 +431,14 @@ def _kernel(hidden_ref, posemb_ref,
                 if "nocache" not in _ABLATE:
                     dma(kbufs.at[buf, :, pl.ds(base, 16)],
                         kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)],
-                        12).wait()
+                        wb0).wait()
                     dma(vbufs.at[buf, :, pl.ds(base, 16)],
                         vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)],
-                        13).wait()
+                        wb0 + 1).wait()
+                    if deep:
+                        @pl.when(l < n_layers - 1)
+                        def _deep_next(g=g, buf=buf, sem_base=sem_base):
+                            cache_start(g, buf, sem_base, l + 1)
                 continue
             # Transposed (head-major) per-slot attention — see
             # decoder_step_batched.py: scoresT = (q(.)segT).K on the model
@@ -432,15 +477,23 @@ def _kernel(hidden_ref, posemb_ref,
 
             if "nocache" not in _ABLATE:                            # probe-only
                 dma(kbufs.at[buf, :, pl.ds(base, 16)],
-                    kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 12).wait()
+                    kc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], wb0).wait()
                 dma(vbufs.at[buf, :, pl.ds(base, 16)],
-                    vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)], 13).wait()
+                    vc_out.at[pl.ds(lo, gb), l, pl.ds(base, 16)],
+                    wb0 + 1).wait()
+                if deep:
+                    # Buffer g is free: stream layer l+1's group g NOW (a
+                    # full layer of lookahead keeps the HBM pipes saturated
+                    # while this layer's remaining groups attend).
+                    @pl.when(l < n_layers - 1)
+                    def _deep_next(g=g, buf=buf, sem_base=sem_base):
+                        cache_start(g, buf, sem_base, l + 1)
 
         if "noweights" not in _ABLATE:                              # probe-only
             dma(sao_hbm.at[l], sao_buf, 3).wait()
-            x = x + (dot_hi(attn_ref[...].astype(wdt),
-                            sao_buf[...].astype(wdt))
-                     * sao_s_ref[0].astype(jnp.float32))
+            x = x + out_scale(dot_hi(attn_ref[...].astype(wdt),
+                                     stream_dec_w(sao_buf, sao_s_ref)),
+                              sao_s_ref)
 
             @pl.when(l < n_layers - 1)
             def _prefetch_sao():
@@ -448,7 +501,7 @@ def _kernel(hidden_ref, posemb_ref,
         else:
             x = x + attn_ref[...] * 1e-9
 
-        if "nocache" not in _ABLATE:                                # probe-only
+        if "nocache" not in _ABLATE and not deep:                   # probe-only
             @pl.when(l < n_layers - 1)
             def _prefetch_cache0():
                 cache_start(0, 0, 8, l + 1)
@@ -473,8 +526,8 @@ def _kernel(hidden_ref, posemb_ref,
         hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
         if "noweights" not in _ABLATE:                              # probe-only
             dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-            f = (dot_hi(hf, ffp_buf[...].astype(wdt))
-                 * ffp_s_ref[0].astype(jnp.float32))
+            f = out_scale(dot_hi(hf, stream_dec_w(ffp_buf, ffp_s_ref)),
+                          ffp_s_ref)
 
             @pl.when(l < n_layers - 1)
             def _prefetch_ffp():
@@ -482,8 +535,8 @@ def _kernel(hidden_ref, posemb_ref,
 
             f = gelu_kernel(f, approximate=gelu_tanh).astype(wdt)
             dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-            x = x + (dot_hi(f, ffo_buf[...].astype(wdt))
-                     * ffo_s_ref[0].astype(jnp.float32))
+            x = x + out_scale(dot_hi(f, stream_dec_w(ffo_buf, ffo_s_ref)),
+                              ffo_s_ref)
 
             @pl.when(l < n_layers - 1)
             def _prefetch_ffo():
@@ -532,20 +585,39 @@ def frame_step_batched_pallas(
     # Env knob for probing group-size trade-offs (gb=16 fits VMEM at B=32).
     gb = min(B, int(os.environ.get("MAGPIE_GB", "8")))
     assert B % gb == 0, (B, gb)
+    n_groups = B // gb
+    n_buf = min(max(_NBUF, 2), n_groups)
+    if n_buf >= n_groups:  # deep mode: every group resident — check VMEM fit
+        deep_bytes = 2 * n_groups * gb * k_cache.shape[2] * \
+            k_cache.shape[3] * k_cache.dtype.itemsize
+        if deep_bytes > _DEEP_BYTES_MAX:
+            n_buf = min(2, n_groups)
     top_k = min(top_k, c.vocab_per_cb)
     n_cb = c.num_codebooks
 
-    if int8_stream is None:
+    from ...io.magpie_weights import Q8DecoderStream
+
+    q8_blocks = isinstance(int8_stream, Q8DecoderStream)
+    if q8_blocks:
+        s = int8_stream
+        qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
+        qkv_s, sao_s = s.qkv_bs, s.sa_out_bs
+        ffp_s, ffo_s = s.ff_proj_bs, s.ff_out_bs
+        stream_dtype = jnp.int8
+    elif int8_stream is None:
         qkv_w, sao_w = dec.qkv.astype(dtype), dec.sa_out.astype(dtype)
         ffp_w, ffo_w = dec.ff_proj.astype(dtype), dec.ff_out.astype(dtype)
-        ones = lambda n: jnp.ones((c.dec_layers, n), jnp.float32)
+        ones = lambda n: jnp.ones((c.dec_layers, 1, n), jnp.float32)
         qkv_s, sao_s = ones(3 * D), ones(D)
         ffp_s, ffo_s = ones(c.d_ffn), ones(D)
         stream_dtype = dtype
     else:
         s = int8_stream
         qkv_w, sao_w, ffp_w, ffo_w = s.qkv_q, s.sa_out_q, s.ff_proj_q, s.ff_out_q
-        qkv_s, sao_s, ffp_s, ffo_s = s.qkv_s, s.sa_out_s, s.ff_proj_s, s.ff_out_s
+        qkv_s = s.qkv_s[:, None, :]
+        sao_s = s.sa_out_s[:, None, :]
+        ffp_s = s.ff_proj_s[:, None, :]
+        ffo_s = s.ff_out_s[:, None, :]
         stream_dtype = jnp.int8
 
     emb_tbl = _pad_rows_to_16(weights.audio_emb.astype(dtype))
@@ -587,7 +659,7 @@ def frame_step_batched_pallas(
         audio_eos_id=c.audio_eos_id, n_layers=c.dec_layers, n_batch=B, gb=gb,
         d_model=D, n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E,
         eps=c.eps, s_half=s_half, cache_chunk=cache_chunk,
-        gelu_tanh=c.gelu_tanh)
+        gelu_tanh=c.gelu_tanh, n_buf=n_buf, q8_blocks=q8_blocks)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(
@@ -636,10 +708,10 @@ def frame_step_batched_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # temperature
             const(B, 1),                        # per-slot seeds
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal [row, half, n_ch]
-            dec_blk(1, 1, 3 * D),               # qkv scales
-            dec_blk(1, 1, D),                   # sa_out scales
-            dec_blk(1, 1, c.d_ffn),             # ff_proj scales
-            dec_blk(1, 1, D),                   # ff_out scales
+            dec_blk(1, *qkv_s.shape[1:]),       # qkv scales (cols/q8)
+            dec_blk(1, *sao_s.shape[1:]),       # sa_out scales
+            dec_blk(1, *ffp_s.shape[1:]),       # ff_proj scales
+            dec_blk(1, *ffo_s.shape[1:]),       # ff_out scales
             pl.BlockSpec(memory_space=pltpu.HBM),    # qkv
             pl.BlockSpec(memory_space=pltpu.HBM),    # sao
             pl.BlockSpec(memory_space=pltpu.HBM),    # ffp
@@ -664,14 +736,14 @@ def frame_step_batched_pallas(
             pltpu.VMEM((D, D), stream_dtype),          # sa_out
             pltpu.VMEM((D, c.d_ffn), stream_dtype),    # ff_proj
             pltpu.VMEM((c.d_ffn, D), stream_dtype),    # ff_out
-            pltpu.VMEM((2, gb, S, D), k_cache.dtype),  # k group bufs
-            pltpu.VMEM((2, gb, S, D), v_cache.dtype),  # v group bufs
-            pltpu.SemaphoreType.DMA((14,)),
+            pltpu.VMEM((n_buf, gb, S, D), k_cache.dtype),  # k group bufs
+            pltpu.VMEM((n_buf, gb, S, D), v_cache.dtype),  # v group bufs
+            pltpu.SemaphoreType.DMA((8 + 2 * n_buf + 2,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=(110 if n_buf <= 2 else 126) * 1024 * 1024),
     )(hidden.astype(dtype), posemb.astype(dtype),
       lt.in_proj_w.astype(dtype), lt.in_proj_b.astype(dtype).reshape(1, -1),
       pos_pad, lt.norm_self.astype(dtype).reshape(1, -1),
@@ -687,7 +759,7 @@ def frame_step_batched_pallas(
       xa_k.astype(dtype), xa_v.astype(dtype),
       valid.astype(jnp.int32), enc_lengths.astype(jnp.int32).reshape(B, 1),
       temp_arr, seeds_col, scal,
-      qkv_s[:, None, :], sao_s[:, None, :], ffp_s[:, None, :], ffo_s[:, None, :],
+      qkv_s, sao_s, ffp_s, ffo_s,
       qkv_w, sao_w, ffp_w, ffo_w, k_cache, v_cache)
 
     return sampled.T, argmax.T, hidden_out, k_out, v_out

@@ -115,7 +115,8 @@ def gumbel_from_seed(base_seed: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     return -log(-log(u))
 
 
-def exact_topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+def exact_topk_mask(logits: jnp.ndarray, k: int,
+                    early_exit: bool = False) -> jnp.ndarray:
     """EXACT top-k membership mask over the last axis (no approximation).
 
     Finds the k-th largest logit VALUE by 32-iteration integer bisection on the
@@ -125,6 +126,15 @@ def exact_topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     bit (then all ties are admitted — same class of tie-freedom as the
     reference's partial sort, magpie.cpp:1072-1109). Integer compares only, so
     the result is identical on every backend (XLA CPU/TPU, Mosaic, interpret).
+
+    ``early_exit=True`` runs the while-loop variant (``_while_topk_mask``) —
+    the SAME admitted set in typically far fewer passes. Measured on v5e:
+    -5/-6 us/frame in the single-stream fused kernel (282->277 at pos
+    150/450, where sampling VPU time is exposed) but +6 in the deep-buffered
+    batched kernel (whose LT phases overlap DMA and whose convergence gate
+    spans 32 rows) — so the single-stream kernel opts in and the batched
+    kernels stay on the fixed 32-pass loop. MAGPIE_TOPK_WHILE=1 forces it on
+    everywhere for probing.
     """
     bits = jax.lax.bitcast_convert_type(logits.astype(jnp.float32), jnp.int32)
     # Monotone key: f1 < f2  <=>  key(f1) < key(f2) (signed int32; +/-0 equal).
@@ -133,6 +143,8 @@ def exact_topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     hi = jnp.max(keys, axis=-1, keepdims=True) + 1    # count(>= hi) == 0 < k
     if os.environ.get("MAGPIE_TOPK_KARY") == "1":     # probe knob (see below)
         return _kary_topk_mask(keys, lo, hi, k)
+    if early_exit or os.environ.get("MAGPIE_TOPK_WHILE") == "1":
+        return _while_topk_mask(keys, lo, hi, k)
     iters = int(os.environ.get("MAGPIE_TOPK_ITERS", "32"))  # probe knob only
     use_dot = os.environ.get("MAGPIE_TOPK_DOT") == "1"      # probe knob
     if use_dot:
@@ -188,6 +200,45 @@ def _kary_topk_mask(keys: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
         ok = cnt >= k
         lo = jnp.where(ok, mid, lo)
         hi = jnp.where(ok, hi, mid)
+    return keys >= lo
+
+
+def _while_topk_mask(keys: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                     k: int) -> jnp.ndarray:
+    """Early-exit variant of the threshold bisection (same exact result).
+
+    A row is SETTLED once (a) some probed midpoint admits exactly k elements —
+    the admitted set is then THE top-k set and stays it under further bound
+    updates (lo only moves to mids with count >= k, and any such mid above a
+    count-k lo still admits exactly k) — or (b) the midpoint stops moving
+    (``mid == lo`` <=> interval width <= 1: lo already IS the k-th key, the
+    tie-admitting fixed point the 32-pass loop would return). The loop exits
+    when every row is settled, capped at the same 32 passes. Worst case
+    (bit-level ties straddling k) degenerates to exactly the fixed loop;
+    typical logits settle in far fewer passes because adjacent order
+    statistics sit many ulps apart. Exactness is pinned by
+    tests/test_sampling_core.py with the knob forced on.
+    """
+    # The settled flag is carried as int32, not bool: Mosaic cannot carry
+    # i1 vectors through an scf.while yield ("failed to legalize scf.yield").
+    settled = jnp.zeros(lo.shape, jnp.int32)
+
+    def cond(c):
+        i, lo, hi, settled = c
+        return (i < 32) & ~jnp.all(settled > 0)
+
+    def body(c):
+        i, lo, hi, settled = c
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        cnt = jnp.sum((keys >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        ok = cnt >= k
+        settled = settled | ((cnt == k) | (mid == lo)).astype(jnp.int32)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+        return i + 1, lo, hi, settled
+
+    _, lo, _, _ = jax.lax.while_loop(cond, body,
+                                     (jnp.int32(0), lo, hi, settled))
     return keys >= lo
 
 

@@ -29,6 +29,7 @@ class MagpiePipeline:
     def from_gguf(cls, model_path: str, codec_path: Optional[str] = None,
                   compute_dtype=jnp.float32,
                   serve_int8: bool = False,
+                  serve_q8: bool = False,
                   use_fused: Optional[bool] = None,
                   gelu_flavor: Optional[str] = None) -> "MagpiePipeline":
         """``gelu_flavor``: "erf" (NeMo-exact, default) or "tanh" (the ggml
@@ -41,8 +42,17 @@ class MagpiePipeline:
         if gelu_flavor is not None:
             config = dataclasses.replace(config, gelu_flavor=gelu_flavor)
         tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
+        q8_stream = None
+        if serve_q8:
+            # Stream the file's OWN Q8_0 blocks (requires a Q8_0 checkpoint);
+            # bit-identical outputs to load-time dequant at ~53% of the bf16
+            # weight traffic (io.magpie_weights.Q8DecoderStream).
+            from .io.magpie_weights import q8_stream_from_gguf
+
+            q8_stream = q8_stream_from_gguf(reader, config)
         engine = MagpieEngine(weights, config, compute_dtype=compute_dtype,
-                              serve_int8=serve_int8, use_fused=use_fused,
+                              serve_int8=serve_int8, q8_stream=q8_stream,
+                              use_fused=use_fused,
                               split_token_id=tokenizer.space_id)
         codec = None
         if codec_path:

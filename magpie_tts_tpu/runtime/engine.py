@@ -81,6 +81,7 @@ class MagpieEngine:
         use_pallas_decoder: bool = None,
         use_fused: bool = None,
         serve_int8: bool = False,
+        q8_stream=None,
         split_token_id: int = 93,
     ):
         self.config = config
@@ -97,9 +98,17 @@ class MagpieEngine:
         # (debug override: MAGPIE_NO_FUSED env var / CLI --no-fused).
         self.use_fused = use_fused
         # Serving-quantized int8 copies of the streamed decoder matrices (half
-        # the per-frame HBM weight traffic; pallas decoder path only).
+        # the per-frame HBM weight traffic; pallas decoder path only) — OR the
+        # checkpoint's own Q8_0 blocks (io.magpie_weights.Q8DecoderStream,
+        # from q8_stream_from_gguf): zero-requantization serving whose outputs
+        # are bit-identical to the dequantize-at-load path. Both flow through
+        # the same stream slot; the kernels dispatch on the pytree type.
+        assert not (serve_int8 and q8_stream is not None), \
+            "serve_int8 and q8_stream are mutually exclusive"
         self.int8_stream = None
-        if serve_int8:
+        if q8_stream is not None:
+            self.int8_stream = q8_stream
+        elif serve_int8:
             from ..io.magpie_weights import quantize_decoder_stream
 
             self.int8_stream = quantize_decoder_stream(self.weights.decoder)

@@ -65,7 +65,16 @@ def write_tiny_magpie_gguf(path: str, seed: int = 0, quant=None,
     writer.add_metadata("magpie.tokenizer.pad", 94)
     writer.add_metadata("magpie.tokenizer.oov", 95)
 
-    quantize = (lambda name: gguf.GGML_Q8_0 if quant == "q8_0" and "net" in name
+    # Same tensor gate as the real converter's QUANT_PATTERNS
+    # (tools/convert_nemo_to_gguf.py:37-44): attention/FFN/projection weight
+    # matrices quantize, everything else (norms, biases, embeddings) stays f32.
+    import re
+    _qpat = (r"\.(qkv_net|o_net|q_net|kv_net)\.weight$",
+             r"\.pos_ff\.(proj|o_net)\.conv\.weight$",
+             r"^final_proj\.weight$",
+             r"^local_transformer_(out_projections\.\d+|in_projection)\.weight$")
+    quantize = (lambda name: gguf.GGML_Q8_0
+                if quant == "q8_0" and any(re.search(p, name) for p in _qpat)
                 else None)
 
     def add(name, arr):

@@ -321,6 +321,101 @@ def test_fused_frame_step_matches_separate_kernels(rng):
         np.testing.assert_allclose(np.asarray(vc_f), np.asarray(vc_r), atol=1e-4)
 
 
+def test_frame_step_batched_deep_buffers_bitexact(rng, monkeypatch):
+    """Deep cache-buffer mode (one VMEM buffer per group, full-layer DMA
+    lookahead) is a SCHEDULING-only change: outputs must be bit-identical to
+    the classic double-buffered schedule, at any temperature."""
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels import frame_step_batched as fsb
+
+    c = CONFIG
+    w = WEIGHTS
+    B = 16
+    monkeypatch.setenv("MAGPIE_GB", "4")  # 4 groups of 4 slots
+    enc_len = jnp.int32(6)
+    tokens = jnp.asarray(rng.integers(2, c.text_vocab_size - 2, size=(B, 8)),
+                         jnp.int32)
+    xa_k, xa_v, state = jax.vmap(
+        lambda t: magpie_mod.prepare(t, enc_len, jnp.int32(0), w, c))(tokens)
+    pos = jnp.int32(c.context_frames)
+    valid = (jnp.arange(c.max_seq)[None, :] < pos) & jnp.ones((B, 1), bool)
+    hidden = jnp.asarray(
+        rng.normal(0, 0.5, size=(B, c.d_model)).astype(np.float32))
+    posemb = jnp.broadcast_to(w.decoder.pos_emb[pos][None, :], (B, c.d_model))
+    args = (hidden, pos, valid, jnp.ones((B,), bool), posemb, xa_k, xa_v,
+            state.k_cache, state.v_cache, w, c, jnp.full((B,), 6, jnp.int32),
+            jnp.arange(B, dtype=jnp.int32))
+    for temp in (0.0, 0.9):
+        outs = {}
+        for nbuf in (2, 4):
+            monkeypatch.setattr(fsb, "_NBUF", nbuf)
+            outs[nbuf] = fsb.frame_step_batched_pallas(
+                *args, jnp.float32(temp), 8, jnp.zeros((B,), bool),
+                interpret=True)
+        for g, r in zip(outs[2], outs[4]):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_frame_step_q8_native_matches_dequant_bitexact(rng):
+    """Q8_0-NATIVE streaming == the dense kernel on dequantize-at-load weights,
+    BIT-EXACT: the in-kernel s*q product (f16-valued f32 scale x int8) is exact
+    in f32, so both paths feed identical weight tiles to identical matmuls."""
+    from magpie_tts_tpu.io.magpie_weights import (q8_dequantized_decoder,
+                                                  q8_stream_from_arrays)
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels.frame_step import frame_step_pallas
+
+    c = CONFIG
+    w = WEIGHTS
+    q8 = q8_stream_from_arrays(w.decoder)
+    w_deq = w.replace(decoder=q8_dequantized_decoder(w.decoder, q8))
+
+    enc_len = jnp.int32(6)
+    tokens = jnp.asarray(rng.integers(2, c.text_vocab_size - 2, size=8),
+                         jnp.int32)
+    xa_k, xa_v, state = magpie_mod.prepare(tokens, enc_len, jnp.int32(0),
+                                           w_deq, c)
+    for temp in (0.0, 0.8):
+        got = frame_step_pallas(
+            state.hidden, state.pos, xa_k, xa_v, state.k_cache, state.v_cache,
+            w_deq, c, jnp.int32(3), jnp.float32(temp), 8, jnp.bool_(False),
+            enc_length=enc_len, interpret=True, q8_stream=q8)
+        want = frame_step_pallas(
+            state.hidden, state.pos, xa_k, xa_v, state.k_cache, state.v_cache,
+            w_deq, c, jnp.int32(3), jnp.float32(temp), 8, jnp.bool_(False),
+            enc_length=enc_len, interpret=True)
+        for g, r in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_q8_stream_from_gguf_matches_dequant_loader(tmp_path):
+    """The native Q8 extractor's blocks dequantize to EXACTLY what the
+    ordinary dequantize-at-load path reads from the same Q8_0 file."""
+    from magpie_tts_tpu.io.gguf import GGUFReader
+    from magpie_tts_tpu.io.magpie_weights import (load_magpie_weights,
+                                                  q8_dequantized_decoder,
+                                                  q8_stream_from_gguf)
+    from tests import fixtures
+
+    path = str(tmp_path / "m_q8.gguf")
+    fixtures.write_tiny_magpie_gguf(path, quant="q8_0")
+    reader = GGUFReader(path)
+    config, w = load_magpie_weights(path, reader=reader)
+    q8 = q8_stream_from_gguf(reader, config)
+    deq = q8_dequantized_decoder(w.decoder, q8)
+    for name in ("qkv", "sa_out", "ff_proj", "ff_out"):
+        np.testing.assert_array_equal(np.asarray(getattr(deq, name)),
+                                      np.asarray(getattr(w.decoder, name)),
+                                      err_msg=name)
+
+    # An f32 (unquantized) checkpoint must be rejected, not mis-parsed.
+    path_f32 = str(tmp_path / "m_f32.gguf")
+    fixtures.write_tiny_magpie_gguf(path_f32)
+    reader_f32 = GGUFReader(path_f32)
+    with pytest.raises(ValueError, match="Q8_0"):
+        q8_stream_from_gguf(reader_f32, config)
+
+
 # ---- production-shape (357M config) kernel tests ---------------------------
 #
 # The kernels' DMA slab layout and Mosaic tiling constraints are shape-
