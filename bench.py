@@ -77,9 +77,11 @@ def main():
     print(f"bench: compile+first-run {compile_time:.1f}s, "
           f"frames={n_frames}", file=sys.stderr)
 
-    # Timed runs
-    runs = 3
-    best_fps = 0.0
+    # Timed runs: N>=5 with VARIED seeds (the tunnel memoizes identical
+    # inputs); report best + median + spread so a real regression is
+    # distinguishable from tunnel noise (VERDICT r4 weak #4).
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    fps_runs = []
     for i in range(runs):
         t0 = time.perf_counter()
         audio, n_frames = synthesize_audio_fused(engine, codec, tokens,
@@ -87,10 +89,15 @@ def main():
                                                  seed=i)
         dt = time.perf_counter() - t0
         fps = n_frames / dt
-        best_fps = max(best_fps, fps)
+        fps_runs.append(fps)
         print(f"bench: run {i}: {n_frames} frames in {dt:.3f}s = "
               f"{fps:.1f} fps ({fps / 21.5:.1f}x real-time), "
               f"audio {len(audio) / 22050:.2f}s", file=sys.stderr)
+    best_fps = max(fps_runs)
+    median_fps = float(np.median(fps_runs))
+    spread_pct = 100.0 * (max(fps_runs) - min(fps_runs)) / max(fps_runs)
+    print(f"bench: e2e best {best_fps:.1f} / median {median_fps:.1f} fps, "
+          f"run-to-run spread {spread_pct:.1f}%", file=sys.stderr)
 
     # Streaming latency: time-to-first-audio and realtime factor (post-warmup).
     # Reference baselines: TTFA 165-193ms, RTF 1.4-3.3x (docs/STATUS.md:280-284).
@@ -176,6 +183,32 @@ def main():
         except Exception as e:  # never break the headline metric
             print(f"bench: f32 run failed: {e}", file=sys.stderr)
 
+    # Bench history: delta vs the newest BENCH_r*.json in the repo root, so
+    # round-over-round drift surfaces automatically (VERDICT r4 item 8).
+    vs_prev = None
+    prev_round = None
+    try:
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = []
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", p)
+            if m:
+                rounds.append((int(m.group(1)), p))
+        if rounds:
+            prev_round, path = max(rounds)
+            with open(path) as f:
+                prev = json.load(f)
+            prev_fps = float(prev.get("parsed", prev).get("value", 0.0))
+            if prev_fps > 0:
+                vs_prev = round(best_fps / prev_fps, 3)
+                print(f"bench: vs BENCH_r{prev_round:02d} "
+                      f"({prev_fps:.1f} fps): {vs_prev:.3f}x", file=sys.stderr)
+    except Exception as e:  # history must never break the headline
+        print(f"bench: history lookup failed: {e}", file=sys.stderr)
+
     baseline_fps = 154.0  # reference graph-reuse path on RTX 4080
     print(json.dumps({
         "metric": "e2e_codec_frames_per_sec",
@@ -193,6 +226,10 @@ def main():
             "ttfa_ms": round(ttfa_ms, 1),
             "streaming_rtf": round(streaming_rtf, 2),
             "e2e_fps_f32": round(f32_fps, 1),
+            "e2e_fps_median": round(median_fps, 1),
+            "e2e_run_spread_pct": round(spread_pct, 1),
+            "vs_prev": vs_prev,
+            "prev_round": prev_round,
         },
     }))
 

@@ -29,13 +29,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream sentence-by-sentence (prints chunk timing)")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
                    help="on-device compute dtype")
-    p.add_argument("--serve-int8", action="store_true",
-                   help="stream decoder weights as per-column int8 (half the "
-                        "per-frame HBM traffic; ~Q8 quantization error)")
-    p.add_argument("--serve-q8", action="store_true",
-                   help="stream the checkpoint's OWN Q8_0 blocks (requires a "
-                        "Q8_0 GGUF): bit-identical to load-time dequant at "
-                        "~53%% of the bf16 weight traffic")
+    quant = p.add_mutually_exclusive_group()
+    quant.add_argument("--serve-int8", action="store_true",
+                       help="stream decoder weights as per-column int8 (half "
+                            "the per-frame HBM traffic; ~Q8 quantization "
+                            "error)")
+    quant.add_argument("--serve-q8", action="store_true",
+                       help="stream the checkpoint's OWN Q8_0 blocks (requires "
+                            "a Q8_0 GGUF): zero requantization error at ~53%% "
+                            "of the bf16 weight traffic (see docs/PARITY.md "
+                            "for the numerics contract)")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the fused per-frame megakernel (LT sampling + "
                         "decoder step in one pallas call); runs the separate "
@@ -106,8 +109,9 @@ def build_warmup_parser() -> argparse.ArgumentParser:
     p.add_argument("--segment-frames", type=int, default=32)
     p.add_argument("--top-k", type=int, default=80)
     p.add_argument("--gelu", choices=("erf", "tanh"), default=None)
-    p.add_argument("--serve-int8", action="store_true")
-    p.add_argument("--serve-q8", action="store_true")
+    quant = p.add_mutually_exclusive_group()
+    quant.add_argument("--serve-int8", action="store_true")
+    quant.add_argument("--serve-q8", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
     return p
 
@@ -256,13 +260,29 @@ def serve(argv) -> int:
     except (ValueError, OSError) as e:
         print(f"error: failed to load model: {e}", file=sys.stderr)
         return 1
-    engine = ContinuousBatchingEngine(
-        weights, config, n_slots=args.slots, compute_dtype=dtype,
-        segment_frames=args.segment_frames)
-    codec = CodecEngine(codec_weights, codec_config, compute_dtype=dtype)
-    log(f"serve: {args.slots} slots, segment={args.segment_frames} frames")
+    import jax
 
-    engine.split_token_id = tokenizer.space_id
+    devices = jax.devices()
+    if len(devices) > 1:
+        # Multi-chip host: one continuous engine per device behind a shared
+        # admission queue (parallel/continuous.MultiChipContinuousServer) —
+        # same submit/step/pending surface, n_devices x the slot capacity.
+        from .parallel.continuous import MultiChipContinuousServer
+
+        engine = MultiChipContinuousServer(
+            weights, config, devices=devices, slots_per_device=args.slots,
+            compute_dtype=dtype, segment_frames=args.segment_frames)
+        for e in engine.engines:
+            e.split_token_id = tokenizer.space_id
+        log(f"serve: {len(devices)} devices x {args.slots} slots, "
+            f"segment={args.segment_frames} frames")
+    else:
+        engine = ContinuousBatchingEngine(
+            weights, config, n_slots=args.slots, compute_dtype=dtype,
+            segment_frames=args.segment_frames)
+        engine.split_token_id = tokenizer.space_id
+        log(f"serve: {args.slots} slots, segment={args.segment_frames} frames")
+    codec = CodecEngine(codec_weights, codec_config, compute_dtype=dtype)
     os.makedirs(args.out_dir, exist_ok=True)
     names = {}
 

@@ -104,11 +104,15 @@ class Q8DecoderStream:
 
     The kernels dequantize in-kernel (``w = repeat(s, 32, in-axis) * q`` in
     f32, cast to the compute dtype): the product of an f16-valued scale and
-    an int8 value is EXACT in f32, so the streamed matmuls are bit-identical
-    to loading the same file through the ordinary dequantize-at-load path —
-    at ~53% of the bf16 weight traffic. Unlike Int8DecoderStream (a serving
-    REquantization, scales folded into matmul outputs), this is zero-
-    requantization-error fidelity to the quantized checkpoint.
+    an int8 value is EXACT in f32, so the streamed matmuls see weight tiles
+    bit-identical to the ordinary dequantize-at-load path's — at ~53% of the
+    bf16 weight traffic, with ZERO requantization error (unlike
+    Int8DecoderStream, a serving REquantization with scales folded into
+    matmul outputs). Numerics contract (docs/PARITY.md "Q8_0-native
+    serving"): sampled/argmax CODES are exactly equal to the dequant-at-load
+    path; float hiddens may differ at the ~1-ulp level where the compiler
+    fuses the dequant multiply into a dot and picks a different reduction
+    order.
     """
     qkv_q: jnp.ndarray      # [L, d_model, 3*d_model] int8
     qkv_bs: jnp.ndarray     # [L, d_model//32, 3*d_model] f32 (f16-valued)
@@ -127,6 +131,12 @@ def _q8_split_t(payload: np.ndarray, out_dim: int, in_dim: int):
     [in, out] matmul convention."""
     from . import quant
 
+    if in_dim % quant.QK != 0:
+        # quantize_q8_0 pads the FLATTENED tensor, so blocks would straddle
+        # rows and the per-row split below would silently mis-scale values.
+        raise ValueError(
+            f"Q8_0-native streaming needs in_dim % {quant.QK} == 0, got "
+            f"shape [{out_dim}, {in_dim}]")
     q, s = quant.split_q8_0(payload, out_dim * in_dim)
     q = q.reshape(out_dim, in_dim).T                      # [in, out]
     s = s.reshape(out_dim, in_dim // quant.QK).T          # [in//32, out]
@@ -144,7 +154,7 @@ def q8_stream_from_gguf(reader, config) -> "Q8DecoderStream":
     c = config
     D, F = c.d_model, c.d_ffn
 
-    def pull(fmt, out_dim, in_dim, conv=False):
+    def pull(fmt, out_dim, in_dim):
         qs, ss = [], []
         for layer in range(c.dec_layers):
             name = fmt.format(layer)
@@ -214,6 +224,96 @@ def q8_dequantized_decoder(dec: "DecoderWeights",
                        ff_out=deq(q8.ff_out_q, q8.ff_out_bs))
 
 
+@flax.struct.dataclass
+class Q8Blocks:
+    """A weight tensor kept as its GGUF Q8_0 blocks (full-native serving).
+
+    With ``--serve-q8`` every tensor on the converter's quant allowlist
+    (reference scripts/convert_magpie_to_gguf.py:156-178 — encoder/decoder/LT
+    attention + FFN matrices, cross-attention, final/LT projections) stays in
+    this form INSIDE the weights pytree: persistent HBM holds the checkpoint's
+    own int8 blocks (~1/3 the f32 bytes), and each jitted program calls
+    ``materialize_weights`` at entry, so dense copies exist only transiently
+    inside a program invocation (XLA hoists the dequant out of decode loops —
+    it runs once per utterance, not per frame). The four per-frame decoder
+    matrices additionally stream natively in-kernel via ``Q8DecoderStream``.
+
+    Dequant here is the same exact f32 product as the load-time path
+    (f16-valued scale x int8), followed by the loader's own layout transform —
+    the materialized tensors are BIT-IDENTICAL to ``load_magpie_weights`` on
+    the same file (pinned by tests/test_io.py::test_q8_native_load_*).
+    """
+    q: jnp.ndarray     # [*lead, n_blocks, 32] int8 (torch-flattened order)
+    s: jnp.ndarray     # [*lead, n_blocks, 1] f32 (f16-valued)
+    torch_shape: tuple = flax.struct.field(pytree_node=False)
+    # Loader transform: "linear" (= _t), "conv1" (= [:, :, 0] then _t),
+    # "conv_ffn" (= transpose (2,1,0)).
+    transform: str = flax.struct.field(pytree_node=False)
+
+    def materialize(self, dtype) -> jnp.ndarray:
+        lead = self.q.shape[:-2]
+        flat = self.s.astype(jnp.float32) * self.q.astype(jnp.float32)
+        w = flat.reshape(*lead, *self.torch_shape)
+        if self.transform == "linear":
+            w = jnp.swapaxes(w, -1, -2)
+        elif self.transform == "conv1":
+            w = jnp.swapaxes(w[..., 0], -1, -2)
+        elif self.transform == "conv_ffn":
+            # [..., out, in, k] -> [..., k, in, out] (loader's _conv_ffn_w)
+            w = jnp.swapaxes(w, -1, -3)
+        else:
+            raise ValueError(self.transform)
+        return w.astype(dtype)
+
+
+def _q8_blocks_from_reader(reader, names, torch_shape, transform) -> Q8Blocks:
+    """Stacked Q8Blocks for one tensor (or a [L]-stack of same-shape
+    tensors) read RAW from a Q8_0 GGUF."""
+    from . import quant
+    from .gguf import GGML_Q8_0
+
+    n = int(np.prod(torch_shape))
+    if n % quant.QK != 0:
+        raise ValueError(f"{names[0]}: {torch_shape} not /{quant.QK}")
+    qs, ss = [], []
+    for name in names:
+        info = reader.tensors[name]
+        if info.ggml_type != GGML_Q8_0:
+            raise ValueError(
+                f"{name}: not Q8_0 (type {info.ggml_type}); full-native "
+                "serving needs the allowlisted tensors stored as Q8_0")
+        q, s = quant.split_q8_0(reader.raw(name), n)
+        qs.append(q.reshape(-1, quant.QK))
+        ss.append(s.reshape(-1, 1))
+    q = np.stack(qs) if len(names) > 1 else qs[0]
+    s = np.stack(ss) if len(names) > 1 else ss[0]
+    return Q8Blocks(q=jnp.asarray(q), s=jnp.asarray(s.astype(np.float32)),
+                    torch_shape=tuple(torch_shape), transform=transform)
+
+
+def materialize_weights(weights: "MagpieWeights",
+                        dtype=None) -> "MagpieWeights":
+    """Replace every Q8Blocks node by its dequantized dense tensor.
+
+    Call at the top of a jitted program: dense copies then live only inside
+    that invocation. ``dtype`` defaults to the pytree's compute dtype
+    (text_emb — never quantized). No-op on fully dense pytrees.
+    """
+    import jax
+
+    dtype = dtype or weights.text_emb.dtype
+    return jax.tree.map(
+        lambda x: x.materialize(dtype) if isinstance(x, Q8Blocks) else x,
+        weights, is_leaf=lambda x: isinstance(x, Q8Blocks))
+
+
+def has_q8_blocks(weights) -> bool:
+    import jax
+
+    return any(isinstance(x, Q8Blocks) for x in jax.tree.leaves(
+        weights, is_leaf=lambda x: isinstance(x, Q8Blocks)))
+
+
 def quantize_decoder_stream(dec: "DecoderWeights") -> Int8DecoderStream:
     qkv_q, qkv_s = _colquant(dec.qkv)
     sao_q, sao_s = _colquant(dec.sa_out)
@@ -238,7 +338,13 @@ class MagpieWeights:
     def astype(self, dtype) -> "MagpieWeights":
         import jax
 
-        return jax.tree.map(lambda x: x.astype(dtype), self)
+        # Q8Blocks keep their block storage dtypes (int8 q + f32 scales);
+        # materialize_weights dequantizes straight to the pytree's compute
+        # dtype (text_emb), so the f32-dequant -> astype ordering matches the
+        # dense load path bit-for-bit.
+        return jax.tree.map(
+            lambda x: x if isinstance(x, Q8Blocks) else x.astype(dtype),
+            self, is_leaf=lambda x: isinstance(x, Q8Blocks))
 
 
 def _t(x: np.ndarray) -> np.ndarray:
@@ -251,10 +357,15 @@ def _conv_ffn_w(x: np.ndarray) -> np.ndarray:
 
 
 def load_magpie_weights(path: str, config: Optional[MagpieConfig] = None, dtype=jnp.float32,
-                        reader=None):
+                        reader=None, q8_native: bool = False):
     """Load a Magpie GGUF checkpoint into (config, MagpieWeights).
 
     Uses the native C++ parser when built (io/native.py), else pure Python.
+
+    ``q8_native=True`` (``--serve-q8``): every allowlisted tensor that is
+    stored as Q8_0 stays as its raw blocks (``Q8Blocks``) inside the pytree —
+    no dense copy is built at load; programs dequantize at entry via
+    ``materialize_weights``. Tensors the converter left dense load normally.
     """
     if reader is None:
         from .native import open_gguf
@@ -268,44 +379,76 @@ def load_magpie_weights(path: str, config: Optional[MagpieConfig] = None, dtype=
     def stack(fmt: str, n: int, transform):
         return np.stack([transform(get(fmt.format(i))) for i in range(n)])
 
+    def q8_or(fmt: str, n: int, transform, torch_shape, kind):
+        """Q8Blocks when q8-native serving is on and the file stores Q8_0;
+        the ordinary dense load otherwise. ``n=0``: single unstacked tensor."""
+        from .gguf import GGML_Q8_0
+
+        names = [fmt] if n == 0 else [fmt.format(i) for i in range(n)]
+        if q8_native and all(reader.tensors[nm].ggml_type == GGML_Q8_0
+                             for nm in names):
+            return _q8_blocks_from_reader(reader, names, torch_shape, kind)
+        if n == 0:
+            return transform(get(fmt))
+        return stack(fmt, n, transform)
+
+    D, F, k = c.d_model, c.d_ffn, c.enc_kernel
     enc = EncoderWeights(
         pos_emb=get("encoder.position_embeddings.weight"),
         norm_self=stack("encoder.layers.{}.norm_self.weight", c.enc_layers, lambda x: x),
-        qkv=stack("encoder.layers.{}.self_attention.qkv_net.weight", c.enc_layers, _t),
-        sa_out=stack("encoder.layers.{}.self_attention.o_net.weight", c.enc_layers, _t),
+        qkv=q8_or("encoder.layers.{}.self_attention.qkv_net.weight", c.enc_layers,
+                  _t, (3 * D, D), "linear"),
+        sa_out=q8_or("encoder.layers.{}.self_attention.o_net.weight", c.enc_layers,
+                     _t, (D, D), "linear"),
         norm_ff=stack("encoder.layers.{}.norm_pos_ff.weight", c.enc_layers, lambda x: x),
-        ff_proj=stack("encoder.layers.{}.pos_ff.proj.conv.weight", c.enc_layers, _conv_ffn_w),
-        ff_out=stack("encoder.layers.{}.pos_ff.o_net.conv.weight", c.enc_layers, _conv_ffn_w),
+        ff_proj=q8_or("encoder.layers.{}.pos_ff.proj.conv.weight", c.enc_layers,
+                      _conv_ffn_w, (F, D, k), "conv_ffn"),
+        ff_out=q8_or("encoder.layers.{}.pos_ff.o_net.conv.weight", c.enc_layers,
+                     _conv_ffn_w, (D, F, k), "conv_ffn"),
         norm_out=get("encoder.norm_out.weight"),
     )
     dec = DecoderWeights(
         pos_emb=get("decoder.position_embeddings.weight"),
         norm_self=stack("decoder.layers.{}.norm_self.weight", c.dec_layers, lambda x: x),
-        qkv=stack("decoder.layers.{}.self_attention.qkv_net.weight", c.dec_layers, _t),
-        sa_out=stack("decoder.layers.{}.self_attention.o_net.weight", c.dec_layers, _t),
+        qkv=q8_or("decoder.layers.{}.self_attention.qkv_net.weight", c.dec_layers,
+                  _t, (3 * D, D), "linear"),
+        sa_out=q8_or("decoder.layers.{}.self_attention.o_net.weight", c.dec_layers,
+                     _t, (D, D), "linear"),
         norm_xa_q=stack("decoder.layers.{}.norm_xattn_query.weight", c.dec_layers, lambda x: x),
         norm_xa_mem=stack("decoder.layers.{}.norm_xattn_memory.weight", c.dec_layers, lambda x: x),
-        xa_q=stack("decoder.layers.{}.cross_attention.q_net.weight", c.dec_layers, _t),
-        xa_kv=stack("decoder.layers.{}.cross_attention.kv_net.weight", c.dec_layers, _t),
-        xa_out=stack("decoder.layers.{}.cross_attention.o_net.weight", c.dec_layers, _t),
+        xa_q=q8_or("decoder.layers.{}.cross_attention.q_net.weight", c.dec_layers,
+                   _t, (c.d_xa, D), "linear"),
+        xa_kv=q8_or("decoder.layers.{}.cross_attention.kv_net.weight", c.dec_layers,
+                    _t, (2 * c.d_xa, D), "linear"),
+        xa_out=q8_or("decoder.layers.{}.cross_attention.o_net.weight", c.dec_layers,
+                     _t, (D, c.d_xa), "linear"),
         norm_ff=stack("decoder.layers.{}.norm_pos_ff.weight", c.dec_layers, lambda x: x),
-        ff_proj=stack("decoder.layers.{}.pos_ff.proj.conv.weight", c.dec_layers,
-                      lambda x: _t(x[:, :, 0])),
-        ff_out=stack("decoder.layers.{}.pos_ff.o_net.conv.weight", c.dec_layers,
-                     lambda x: _t(x[:, :, 0])),
+        ff_proj=q8_or("decoder.layers.{}.pos_ff.proj.conv.weight", c.dec_layers,
+                      lambda x: _t(x[:, :, 0]), (F, D, 1), "conv1"),
+        ff_out=q8_or("decoder.layers.{}.pos_ff.o_net.conv.weight", c.dec_layers,
+                     lambda x: _t(x[:, :, 0]), (D, F, 1), "conv1"),
         norm_out=get("decoder.norm_out.weight"),
     )
     lt = LocalTransformerWeights(
-        in_proj_w=_t(get("local_transformer_in_projection.weight")),
+        in_proj_w=q8_or("local_transformer_in_projection.weight", 0,
+                        _t, (c.lt_dim, D), "linear"),
         in_proj_b=get("local_transformer_in_projection.bias"),
         pos_emb=get("local_transformer.position_embeddings.weight"),
         norm_self=get("local_transformer.layers.0.norm_self.weight"),
-        qkv=_t(get("local_transformer.layers.0.self_attention.qkv_net.weight")),
-        sa_out=_t(get("local_transformer.layers.0.self_attention.o_net.weight")),
+        qkv=q8_or("local_transformer.layers.0.self_attention.qkv_net.weight", 0,
+                  _t, (3 * c.lt_dim, c.lt_dim), "linear"),
+        sa_out=q8_or("local_transformer.layers.0.self_attention.o_net.weight", 0,
+                     _t, (c.lt_dim, c.lt_dim), "linear"),
         norm_ff=get("local_transformer.layers.0.norm_pos_ff.weight"),
-        ff_proj=_t(get("local_transformer.layers.0.pos_ff.proj.conv.weight")[:, :, 0]),
-        ff_out=_t(get("local_transformer.layers.0.pos_ff.o_net.conv.weight")[:, :, 0]),
-        out_proj_w=stack("local_transformer_out_projections.{}.weight", c.num_codebooks, _t),
+        ff_proj=q8_or("local_transformer.layers.0.pos_ff.proj.conv.weight", 0,
+                      lambda x: _t(x[:, :, 0]), (c.lt_ffn_dim, c.lt_dim, 1),
+                      "conv1"),
+        ff_out=q8_or("local_transformer.layers.0.pos_ff.o_net.conv.weight", 0,
+                     lambda x: _t(x[:, :, 0]), (c.lt_dim, c.lt_ffn_dim, 1),
+                     "conv1"),
+        out_proj_w=q8_or("local_transformer_out_projections.{}.weight",
+                         c.num_codebooks, _t, (c.vocab_per_cb, c.lt_dim),
+                         "linear"),
         out_proj_b=stack("local_transformer_out_projections.{}.bias", c.num_codebooks,
                          lambda x: x),
     )
@@ -316,13 +459,17 @@ def load_magpie_weights(path: str, config: Optional[MagpieConfig] = None, dtype=
             c.num_speakers, c.context_frames, c.d_model),
         encoder=enc,
         decoder=dec,
-        final_proj_w=_t(get("final_proj.weight")),
+        final_proj_w=q8_or("final_proj.weight", 0, _t,
+                           (c.num_codebooks * c.vocab_per_cb, D), "linear"),
         final_proj_b=get("final_proj.bias"),
         lt=lt,
     )
     import jax
 
-    weights = jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), weights)
+    # Q8Blocks keep their storage dtypes; dense leaves cast to ``dtype``.
+    weights = jax.tree.map(
+        lambda x: x if isinstance(x, Q8Blocks) else jnp.asarray(x, dtype=dtype),
+        weights, is_leaf=lambda x: isinstance(x, Q8Blocks))
     return config, weights
 
 

@@ -89,6 +89,17 @@ def _load_library() -> Optional[ctypes.CDLL]:
     lib.gguf_tensor_read_f32.restype = ctypes.c_int
     lib.gguf_tensor_read_f32.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                          ctypes.POINTER(ctypes.c_float)]
+    # Raw-bytes accessors are newer than the f32 path; an older .so built
+    # before they existed triggers a rebuild via the version probe below.
+    for fn, restype, argtypes in (
+            ("gguf_tensor_nbytes", ctypes.c_int64,
+             [ctypes.c_void_p, ctypes.c_int64]),
+            ("gguf_tensor_read_raw", ctypes.c_int,
+             [ctypes.c_void_p, ctypes.c_int64,
+              ctypes.POINTER(ctypes.c_uint8)])):
+        if hasattr(lib, fn):
+            getattr(lib, fn).restype = restype
+            getattr(lib, fn).argtypes = argtypes
     _LIB = lib
     return lib
 
@@ -139,6 +150,25 @@ class NativeGGUFReader:
         elif dequant_dtype != np.float32:
             out = out.astype(dequant_dtype)
         return out.reshape(info.shape)
+
+    def raw(self, name: str) -> np.ndarray:
+        """The tensor's stored bytes, undecoded (GGUFReader.raw parity) —
+        Q8_0 blocks stay blocks, as the Q8-native serving path needs."""
+        if not hasattr(self._lib, "gguf_tensor_read_raw"):
+            # .so predates the raw accessors; the pure-Python reader mmaps
+            # the same file (cheap) and is byte-identical.
+            return pygguf.GGUFReader(self.path).raw(name)
+        idx = self._index[name]
+        nbytes = self._lib.gguf_tensor_nbytes(self._handle, idx)
+        if nbytes < 0:
+            raise ValueError(f"{name}: unknown stored size")
+        out = np.empty(nbytes, dtype=np.uint8)
+        rc = self._lib.gguf_tensor_read_raw(
+            self._handle, idx,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise ValueError(f"{name}: native raw read failed (rc={rc})")
+        return out
 
     def __del__(self):
         if getattr(self, "_handle", None):

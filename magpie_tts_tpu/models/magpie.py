@@ -83,6 +83,12 @@ def prepare(tokens: jnp.ndarray, enc_length: jnp.ndarray, speaker_id: jnp.ndarra
 
     Returns (xa_k, xa_v, state) where state.hidden is the BOS-step decoder output.
     """
+    from ..io.magpie_weights import materialize_weights
+
+    # Q8-native serving: dequantize any block-stored tensors on device, at
+    # program entry — dense copies are transient to this invocation (no-op on
+    # dense pytrees; XLA CSE merges the duplicate with decode_loop's).
+    weights = materialize_weights(weights)
     dtype = weights.text_emb.dtype
     cache_dtype = cache_dtype or dtype
     enc_out = run_encoder(tokens, weights, config)
@@ -135,6 +141,9 @@ def decode_loop(xa_k: jnp.ndarray, xa_v: jnp.ndarray, state: DecodeState,
     paths are enabled (default True; the MAGPIE_NO_FUSED env var flips the
     default for debugging, mirrored by the CLI --no-fused flag).
     """
+    from ..io.magpie_weights import materialize_weights
+
+    weights = materialize_weights(weights)  # q8-native: see prepare()
     max_steps = max_steps or config.max_dec_steps
     if use_pallas_lt is None:
         use_pallas_lt = use_pallas_default(config)

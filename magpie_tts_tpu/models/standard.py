@@ -34,6 +34,9 @@ def synthesize_codes_standard(token_ids, weights: MagpieWeights,
     Each step jit-compiles per sequence length the first time (slow); use the
     engine's cached program for production.
     """
+    from ..io.magpie_weights import materialize_weights
+
+    weights = materialize_weights(weights)  # q8-native blocks -> dense
     max_steps = max_steps or config.max_dec_steps
     tokens = jnp.asarray(np.asarray(token_ids, np.int32))
     enc_out = run_encoder(tokens, weights, config)
@@ -77,4 +80,7 @@ def final_projection(hidden: jnp.ndarray, weights: MagpieWeights) -> jnp.ndarray
     Present for checkpoint parity and analysis; like the reference, the sampling
     path uses the local-transformer heads instead.
     """
+    from ..io.magpie_weights import materialize_weights
+
+    weights = materialize_weights(weights)  # q8-native blocks -> dense
     return (hidden @ weights.final_proj_w + weights.final_proj_b).astype(jnp.float32)

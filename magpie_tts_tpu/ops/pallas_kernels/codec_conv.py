@@ -188,7 +188,20 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     else:
         # tiny dummy (whole-array block); the kernel never reads it.
         rp = jnp.zeros((8, cp_out), x.dtype)
-    grid = (tp // tile,)
+    # DYNAMIC time grid (default on): the grid count is passed as a traced
+    # scalar, so the serialized Mosaic kernel module is IDENTICAL for every
+    # frame bucket / utterance length — one kernel compile per (C, k, d)
+    # shape class instead of one per (shape class x T). Cold-start leverage:
+    # the codec compiles ~50 distinct conv kernels per bucket otherwise
+    # (docs/STATUS.md cold-start table). The kernel body never reads T; the
+    # tile/halo schedule is T-independent. MAGPIE_CODEC_DYNGRID=0 restores
+    # static grids for A/B.
+    import os as _os
+
+    if _os.environ.get("MAGPIE_CODEC_DYNGRID", "1") == "1":
+        grid = (jnp.asarray(tp // tile, jnp.int32),)
+    else:
+        grid = (tp // tile,)
     kernel = functools.partial(
         _kernel, k=k, dilation=dilation, tile=tile, halo=halo,
         apply_snake=apply_snake, leaky_slope=leaky_slope,

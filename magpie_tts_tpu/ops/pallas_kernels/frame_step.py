@@ -71,8 +71,11 @@ def _kernel(hidden_ref, posemb_ref,
     def stream_w(buf_ref, s_ref):
         """Weight tile for a streamed matmul. Q8_0-native mode dequantizes
         in-kernel: s (f16-valued f32, one per 32 input rows) x int8 q is
-        EXACT in f32, so the cast-to-wdt tile is bit-identical to streaming
-        the load-time-dequantized weights (io/magpie_weights.Q8DecoderStream).
+        EXACT in f32, so the tile is bit-identical to the load-time-dequant
+        path's (io/magpie_weights.Q8DecoderStream). The dot CONSUMING the
+        tile may still be compiled with a different reduction order when the
+        backend fuses this multiply into it (docs/PARITY.md "Q8_0-native
+        serving" has the full numerics contract).
         """
         if not q8_blocks:
             return buf_ref[...].astype(wdt)

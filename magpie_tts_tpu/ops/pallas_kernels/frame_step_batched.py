@@ -587,8 +587,13 @@ def frame_step_batched_pallas(
     assert B % gb == 0, (B, gb)
     n_groups = B // gb
     n_buf = min(max(_NBUF, 2), n_groups)
-    if n_buf >= n_groups:  # deep mode: every group resident — check VMEM fit
-        deep_bytes = 2 * n_groups * gb * k_cache.shape[2] * \
+    if n_buf < n_groups:
+        # Intermediate depths (2 < n_buf < n_groups) allocate extra VMEM with
+        # ZERO lookahead benefit — the non-deep schedule only ever prefetches
+        # group g+1 — and can exceed the VMEM limit (f32 B=64). Classic depth.
+        n_buf = min(2, n_groups)
+    else:  # deep mode: every group resident — check VMEM fit
+        deep_bytes = 2 * n_buf * gb * k_cache.shape[2] * \
             k_cache.shape[3] * k_cache.dtype.itemsize
         if deep_bytes > _DEEP_BYTES_MAX:
             n_buf = min(2, n_groups)

@@ -143,7 +143,11 @@ def exact_topk_mask(logits: jnp.ndarray, k: int,
     hi = jnp.max(keys, axis=-1, keepdims=True) + 1    # count(>= hi) == 0 < k
     if os.environ.get("MAGPIE_TOPK_KARY") == "1":     # probe knob (see below)
         return _kary_topk_mask(keys, lo, hi, k)
-    if early_exit or os.environ.get("MAGPIE_TOPK_WHILE") == "1":
+    # MAGPIE_TOPK_WHILE overrides in BOTH directions: "1" forces the while
+    # variant everywhere, "0" forces the fixed 32-pass loop even for callers
+    # that opt in (so probe baselines against fixed32 are real).
+    while_env = os.environ.get("MAGPIE_TOPK_WHILE")
+    if while_env == "1" or (early_exit and while_env != "0"):
         return _while_topk_mask(keys, lo, hi, k)
     iters = int(os.environ.get("MAGPIE_TOPK_ITERS", "32"))  # probe knob only
     use_dot = os.environ.get("MAGPIE_TOPK_DOT") == "1"      # probe knob

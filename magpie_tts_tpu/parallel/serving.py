@@ -55,6 +55,9 @@ class BatchedMagpieEngine:
         self.token_buckets = tuple(token_buckets)
         self.split_token_id = split_token_id
         dtype = jnp.dtype(compute_dtype)
+        from ..io.magpie_weights import materialize_weights
+
+        weights = materialize_weights(weights, dtype)  # q8-native -> dense
         weights = weights if weights.text_emb.dtype == dtype else weights.astype(dtype)
         if mesh is not None and mesh.devices.size > 1:
             self.weights = mesh_mod.shard_weights(weights, mesh, config)

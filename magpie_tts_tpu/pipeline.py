@@ -38,15 +38,22 @@ class MagpiePipeline:
         from .io.native import open_gguf
 
         reader = open_gguf(model_path)
-        config, weights = load_magpie_weights(model_path, reader=reader)
+        config, weights = load_magpie_weights(model_path, reader=reader,
+                                              q8_native=serve_q8)
         if gelu_flavor is not None:
             config = dataclasses.replace(config, gelu_flavor=gelu_flavor)
         tokenizer = MagpieTokenizer.from_gguf_metadata(reader.metadata)
         q8_stream = None
         if serve_q8:
-            # Stream the file's OWN Q8_0 blocks (requires a Q8_0 checkpoint);
-            # bit-identical outputs to load-time dequant at ~53% of the bf16
-            # weight traffic (io.magpie_weights.Q8DecoderStream).
+            # Serve the file's OWN Q8_0 blocks (requires a Q8_0 checkpoint):
+            # zero requantization error, exactly equal codes vs load-time
+            # dequant (docs/PARITY.md contract). Two mechanisms: (a) the four
+            # per-frame decoder matrices stream natively in-kernel
+            # (Q8DecoderStream, ~53% of the bf16 weight traffic); (b) every
+            # other allowlisted tensor stays as raw blocks in the weights
+            # pytree (Q8Blocks, q8_native load above) and programs dequantize
+            # at entry — persistent HBM holds no dense copy of any tensor the
+            # converter quantized.
             from .io.magpie_weights import q8_stream_from_gguf
 
             q8_stream = q8_stream_from_gguf(reader, config)

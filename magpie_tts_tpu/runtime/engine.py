@@ -100,11 +100,12 @@ class MagpieEngine:
         # Serving-quantized int8 copies of the streamed decoder matrices (half
         # the per-frame HBM weight traffic; pallas decoder path only) — OR the
         # checkpoint's own Q8_0 blocks (io.magpie_weights.Q8DecoderStream,
-        # from q8_stream_from_gguf): zero-requantization serving whose outputs
-        # are bit-identical to the dequantize-at-load path. Both flow through
-        # the same stream slot; the kernels dispatch on the pytree type.
-        assert not (serve_int8 and q8_stream is not None), \
-            "serve_int8 and q8_stream are mutually exclusive"
+        # from q8_stream_from_gguf): zero-requantization serving — exactly
+        # equal codes vs dequantize-at-load, ulp-level float parity
+        # (docs/PARITY.md "Q8_0-native serving"). Both flow through the same
+        # stream slot; the kernels dispatch on the pytree type.
+        if serve_int8 and q8_stream is not None:
+            raise ValueError("serve_int8 and q8_stream are mutually exclusive")
         self.int8_stream = None
         if q8_stream is not None:
             self.int8_stream = q8_stream

@@ -283,6 +283,30 @@ const char* gguf_kv_str(void* handle, int64_t idx) {
   return static_cast<Reader*>(handle)->kv[idx].str.c_str();
 }
 
+// Stored byte size of tensor `idx` (quantized tensors: the block payload
+// size), or -1 on bad index/type.
+int64_t gguf_tensor_nbytes(void* handle, int64_t idx) {
+  auto r = static_cast<Reader*>(handle);
+  if (idx < 0 || idx >= (int64_t)r->tensors.size()) return -1;
+  auto& t = r->tensors[idx];
+  return type_nbytes(t.type, t.n_elements);
+}
+
+// Copy tensor `idx`'s RAW stored bytes (no dequant — Q8_0 blocks stay
+// blocks) into `out` (caller allocates gguf_tensor_nbytes). Returns 0 on
+// success. Used by the Q8_0-native serving path, which streams the file's
+// own blocks to the device instead of dequantizing at load.
+int gguf_tensor_read_raw(void* handle, int64_t idx, uint8_t* out) {
+  auto r = static_cast<Reader*>(handle);
+  if (idx < 0 || idx >= (int64_t)r->tensors.size()) return 1;
+  auto& t = r->tensors[idx];
+  int64_t nbytes = type_nbytes(t.type, t.n_elements);
+  if (nbytes < 0) return 2;
+  if (r->data_start + t.offset + nbytes > r->size) return 3;
+  std::memcpy(out, r->base + r->data_start + t.offset, nbytes);
+  return 0;
+}
+
 // Copy tensor `idx` into `out` as float32 (dequantizing), or int32 for I32
 // tensors (caller allocates n_elements * 4 bytes). Returns 0 on success.
 int gguf_tensor_read_f32(void* handle, int64_t idx, float* out) {

@@ -370,10 +370,84 @@ def probe_single(pos_off=40):
           kc0, vc0)
 
 
+def probe_q8():
+    """Weight-stream A/B for the fused kernels: dense bf16 vs int8-column vs
+    q8-native blocks, single-stream and B=32, pos 150/450 (pos is a traced
+    argument so each variant compiles once). The measured table lives in
+    docs/KERNELS.md "Quantized weight streaming"."""
+    from magpie_tts_tpu.io.magpie_weights import (q8_stream_from_arrays,
+                                                  quantize_decoder_stream)
+    from magpie_tts_tpu.ops.pallas_kernels.frame_step import frame_step_pallas
+    from magpie_tts_tpu.ops.pallas_kernels.frame_step_batched import (
+        frame_step_batched_pallas)
+
+    c = MagpieConfig()
+    rng = np.random.default_rng(0)
+    w = jax.device_put(random_magpie_weights(c, seed=0).astype(DT))
+    int8 = jax.device_put(quantize_decoder_stream(w.decoder))
+    q8 = jax.device_put(q8_stream_from_arrays(w.decoder))
+    E, S, D, L = 64, c.max_seq, c.d_model, c.dec_layers
+    temp = jnp.float32(0.7)
+    streams = [("dense", None), ("int8-col", int8), ("q8-native", q8)]
+
+    # ---- single-stream ----
+    xa_k = jnp.asarray(rng.normal(0, 0.3, (L, E, c.d_xa)), DT)
+    xa_v = jnp.asarray(rng.normal(0, 0.3, (L, E, c.d_xa)), DT)
+    kc0 = jnp.asarray(rng.normal(0, 0.3, (L, S, D)), DT)
+    vc0 = jnp.asarray(rng.normal(0, 0.3, (L, S, D)), DT)
+    for label, stream in streams:
+        def make_run(n, stream=stream):
+            def run(init, pos, kc, vc):
+                def body(i, carry):
+                    h, kc, vc = carry
+                    s, a, h2, kc, vc = frame_step_pallas(
+                        h, pos, xa_k, xa_v, kc, vc, w, c,
+                        i.astype(jnp.int32), temp, 80, jnp.bool_(False),
+                        enc_length=jnp.int32(50), int8_stream=stream)
+                    return (h2.astype(DT), kc, vc)
+                return jax.lax.fori_loop(0, n, body, (init, kc, vc))[0]
+            return jax.jit(run)
+
+        for pos_off in (40, 340):
+            slope(f"single [{label}] (pos_off={pos_off})", make_run,
+                  lambda rep: jnp.full((c.d_model,), 0.5 + rep * 1e-3, DT),
+                  jnp.int32(c.context_frames + pos_off), kc0, vc0)
+
+    # ---- batched B=32 ----
+    _, d = _setup(c)
+    posemb0 = w.decoder.pos_emb[0][None, :].astype(DT)
+    posemb = jnp.broadcast_to(posemb0, (B, c.d_model))
+    maycont = jnp.ones((B,), bool)
+    forbid = jnp.zeros((B,), bool)
+    for label, stream in streams:
+        def make_run(n, stream=stream):
+            def run(init, pos, kc, vc):
+                valid = ((jnp.arange(c.max_seq)[None, :] <= pos)
+                         & jnp.ones((B, 1), bool))
+                def body(i, carry):
+                    h, kc, vc = carry
+                    seeds = (jnp.full((B,), i, jnp.int32)
+                             + jnp.arange(B, dtype=jnp.int32))
+                    s, a, h2, kc, vc = frame_step_batched_pallas(
+                        h, pos, valid, maycont, posemb, d["xa_k"], d["xa_v"],
+                        kc, vc, w, c, d["enc_lens"], seeds, temp, 80, forbid,
+                        int8_stream=stream)
+                    return (h2.astype(DT), kc, vc)
+                return jax.lax.fori_loop(0, n, body, (init, kc, vc))[0]
+            return jax.jit(run)
+
+        for pos_off in (40, 340):
+            slope(f"batched B={B} [{label}] (pos_off={pos_off})", make_run,
+                  lambda rep: jnp.full((B, c.d_model), 0.5 + rep * 1e-3, DT),
+                  jnp.int32(c.context_frames + pos_off),
+                  d["k_cache"], d["v_cache"])
+
+
 PROBES = {"minimal": probe_minimal, "constblk": probe_constblk,
           "dec": probe_dec, "lt": probe_lt, "fused": probe_fused,
           "split": probe_split, "anatomy": probe_anatomy,
-          "lockstep": probe_lockstep, "single": probe_single}
+          "lockstep": probe_lockstep, "single": probe_single,
+          "q8": probe_q8}
 
 
 def main():

@@ -119,6 +119,49 @@ def test_cli_serve_is_online(model_paths, tmp_path):
     assert proc.returncode == 0, proc.stderr.read()
 
 
+def test_cli_serve_int8_and_q8_are_mutually_exclusive(tmp_path):
+    """argparse rejects the flag combination cleanly (exit 2), before any
+    model load — the engine never sees both."""
+    proc = _run_cli(["-m", str(tmp_path / "x.gguf"), "-t", "hi",
+                     "--serve-int8", "--serve-q8"])
+    assert proc.returncode == 2
+    assert "not allowed with" in proc.stderr
+    assert "Traceback" not in proc.stderr
+
+
+@pytest.mark.slow
+def test_cli_serve_q8_requires_q8_checkpoint(model_paths, tmp_path):
+    """--serve-q8 on an f32 GGUF exits 1 with a one-line error."""
+    mpath, cpath = model_paths  # f32 fixtures
+    proc = _run_cli(["-m", mpath, "-c", cpath, "-t", "hi",
+                     "-o", str(tmp_path / "o.wav"), "--serve-q8"])
+    assert proc.returncode == 1
+    assert "error:" in proc.stderr and "Q8_0" in proc.stderr
+    assert "Traceback" not in proc.stderr
+
+
+@pytest.mark.slow
+def test_cli_serve_q8_end_to_end(tmp_path):
+    """--serve-q8 on a Q8_0 checkpoint synthesizes a WAV, and its greedy
+    output is byte-identical to serving the same file without --serve-q8
+    (on the XLA path both serve the dequantized blocks; on TPU the kernels
+    stream the blocks natively — docs/PARITY.md contract)."""
+    mpath = str(tmp_path / "magpie_q8.gguf")
+    cpath = str(tmp_path / "codec.gguf")
+    fixtures.write_tiny_magpie_gguf(mpath, quant="q8_0")
+    fixtures.write_tiny_codec_gguf(cpath)
+    outs = []
+    for flag, name in ((["--serve-q8"], "q8.wav"), ([], "deq.wav")):
+        out = str(tmp_path / name)
+        proc = _run_cli(["-m", mpath, "-c", cpath, "-t", "hello world",
+                         "-o", out, "--temp", "0", "--seed", "1"] + flag)
+        assert proc.returncode == 0, proc.stderr
+        samples, sr = read_wav(out)
+        assert sr == 22050 and len(samples) > 0
+        outs.append(samples)
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_cli_missing_model_is_graceful(tmp_path):
     """A bad model path exits 1 with a one-line error, not a traceback."""
     proc = _run_cli(["-m", str(tmp_path / "nope.gguf"), "-t", "hi",

@@ -144,3 +144,42 @@ def test_single_request_smoke(rng):
     codes = finished[rid]
     assert codes.ndim == 2 and codes.shape[1] == CONFIG.num_codebooks
     assert (codes >= 0).all() and (codes < CONFIG.vocab_per_cb).all()
+
+
+@pytest.mark.slow
+def test_multichip_server_matches_single_engine(rng):
+    """MultiChipContinuousServer over 4 virtual devices (2 slots each) with
+    12 requests (over-capacity -> the shared queue holds the tail) produces
+    the same greedy codes per request as the single-stream engine, with
+    admission happening while earlier requests decode."""
+    import jax
+
+    from magpie_tts_tpu.parallel.continuous import MultiChipContinuousServer
+
+    devices = jax.devices()[:4]
+    assert len(devices) == 4, "conftest forces 8 virtual CPU devices"
+    reference = MagpieEngine(WEIGHTS, CONFIG, token_buckets=(16, 32))
+    server = MultiChipContinuousServer(
+        WEIGHTS, CONFIG, devices=devices, slots_per_device=2,
+        token_buckets=(16, 32), segment_frames=5)
+
+    requests = [_tokens(rng, n) for n in (4, 9, 6, 12, 5, 7, 8, 3, 10, 4, 6, 5)]
+    want = [reference.synthesize_codes(t, temperature=0.0, top_k=1).codes
+            for t in requests]
+
+    # 9 submitted up front (> 8 slots: one queues globally); the rest join
+    # after the first segment has run on every engine.
+    ids = [server.submit(t) for t in requests[:9]]
+    finished = dict(server.step(temperature=0.0, top_k=1))
+    ids += [server.submit(t) for t in requests[9:]]
+    while server.pending:
+        finished.update(server.step(temperature=0.0, top_k=1))
+
+    assert set(finished) == set(ids)
+    for rid, codes_want in zip(ids, want):
+        np.testing.assert_array_equal(finished[rid], codes_want,
+                                      err_msg=f"request {rid}")
+
+    # Load actually spread across engines: with 12 requests on 4 engines of
+    # 2 slots, every engine must have served something.
+    assert all(e._next_id > 0 for e in server.engines)

@@ -180,6 +180,39 @@ def test_gguf_q8_weights_load(tmp_path):
 
 
 @pytest.mark.slow
+def test_pipeline_serve_q8_end_to_end(tmp_path):
+    """MagpiePipeline.from_gguf(serve_q8=True) on a Q8_0 checkpoint: the
+    stream is built from the file's own blocks, threads into the engine, and
+    synthesis produces the same greedy codes as the dequantize-at-load path
+    on the same file (the docs/PARITY.md Q8-native contract at pipeline
+    level; kernel-level parity is pinned in test_pallas_kernels)."""
+    from magpie_tts_tpu.io.magpie_weights import Q8DecoderStream
+    from magpie_tts_tpu.pipeline import MagpiePipeline
+
+    mpath = str(tmp_path / "magpie_q8.gguf")
+    fixtures.write_tiny_magpie_gguf(mpath, quant="q8_0")
+
+    codes = {}
+    for serve_q8 in (True, False):
+        pipe = MagpiePipeline.from_gguf(mpath, serve_q8=serve_q8)
+        if serve_q8:
+            assert isinstance(pipe.engine.int8_stream, Q8DecoderStream)
+        pipe.engine.token_buckets = TOKEN_BUCKETS
+        codes[serve_q8] = pipe.synthesize_codes("hello world",
+                                                temperature=0.0)
+    np.testing.assert_array_equal(codes[True], codes[False])
+
+    # serve_int8 + q8_stream must be rejected with a ValueError, not assert.
+    config, weights = load_magpie_weights(mpath)
+    from magpie_tts_tpu.io.gguf import GGUFReader
+    from magpie_tts_tpu.io.magpie_weights import q8_stream_from_gguf
+
+    q8 = q8_stream_from_gguf(GGUFReader(mpath), config)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MagpieEngine(weights, config, serve_int8=True, q8_stream=q8)
+
+
+@pytest.mark.slow
 def test_warmup_precompiles_buckets():
     from tests.utils import tiny_magpie_config, tiny_codec_config
     from magpie_tts_tpu.io.magpie_weights import random_magpie_weights

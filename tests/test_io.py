@@ -76,3 +76,54 @@ def test_gguf_shape_order(tmp_path, rng):
     r = gguf.GGUFReader(path)
     assert r.tensors["t"].shape == (3, 5, 7)
     np.testing.assert_array_equal(r.tensor("t"), t)
+
+
+def test_q8_native_load_materializes_bitexact(tmp_path):
+    """Full-native Q8 serving (--serve-q8): loading with q8_native=True keeps
+    every allowlisted tensor as its raw Q8_0 blocks (Q8Blocks) and
+    materialize_weights dequantizes them BIT-IDENTICAL to the ordinary
+    dequantize-at-load path — for every field, in f32 and after a bf16 cast
+    (the dequant->cast ordering matches the dense load->astype path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from magpie_tts_tpu.io.magpie_weights import (Q8Blocks, has_q8_blocks,
+                                                  load_magpie_weights,
+                                                  materialize_weights)
+    from tests import fixtures
+
+    path = str(tmp_path / "m_q8.gguf")
+    fixtures.write_tiny_magpie_gguf(path, quant="q8_0")
+    _, dense = load_magpie_weights(path)
+    config, blocks = load_magpie_weights(path, q8_native=True)
+    assert has_q8_blocks(blocks)
+    # Every allowlisted matmul tensor is block-stored (no dense copy).
+    for node in (blocks.encoder.qkv, blocks.encoder.ff_proj,
+                 blocks.decoder.qkv, blocks.decoder.ff_out,
+                 blocks.decoder.xa_kv, blocks.lt.in_proj_w,
+                 blocks.lt.out_proj_w, blocks.final_proj_w):
+        assert isinstance(node, Q8Blocks)
+
+    flat_d = jax.tree_util.tree_leaves_with_path(dense)
+    mat = materialize_weights(blocks)
+    flat_m = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(mat)}
+    assert set(flat_m) == {jax.tree_util.keystr(k) for k, _ in flat_d}
+    for k, v in flat_d:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(flat_m[jax.tree_util.keystr(k)]),
+                                      err_msg=jax.tree_util.keystr(k))
+
+    # bf16 engine cast: astype skips blocks; materialize matches dense astype.
+    mat16 = materialize_weights(blocks.astype(jnp.bfloat16))
+    d16 = dense.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(mat16.decoder.qkv),
+                                  np.asarray(d16.decoder.qkv))
+    np.testing.assert_array_equal(np.asarray(mat16.encoder.ff_proj),
+                                  np.asarray(d16.encoder.ff_proj))
+
+    # A dense (f32) checkpoint with q8_native=True simply loads dense.
+    path32 = str(tmp_path / "m_f32.gguf")
+    fixtures.write_tiny_magpie_gguf(path32)
+    _, w32 = load_magpie_weights(path32, q8_native=True)
+    assert not has_q8_blocks(w32)

@@ -76,7 +76,11 @@ def test_native_full_size_gguf(tmp_path):
                                     config=MagpieConfig())
     import os
     size = os.path.getsize(path)
-    assert size > 400 * 1024 * 1024      # genuinely full-scale
+    # The q8 357M fixture writes 303,461,440 bytes (matmul weights as Q8_0
+    # blocks, everything else f32). The old 400MB floor was never true of
+    # this fixture — red since the round-4 snapshot; what the test needs is
+    # hundreds-of-MB scale with late tensor offsets, which 250MB+ pins.
+    assert size > 250 * 1024 * 1024      # genuinely full-scale
 
     py = pygguf.GGUFReader(path)
     nat = native.NativeGGUFReader(path)

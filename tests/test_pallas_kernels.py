@@ -356,10 +356,48 @@ def test_frame_step_batched_deep_buffers_bitexact(rng, monkeypatch):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
-def test_frame_step_q8_native_matches_dequant_bitexact(rng):
-    """Q8_0-NATIVE streaming == the dense kernel on dequantize-at-load weights,
-    BIT-EXACT: the in-kernel s*q product (f16-valued f32 scale x int8) is exact
-    in f32, so both paths feed identical weight tiles to identical matmuls."""
+def test_q8_in_kernel_dequant_tile_bitexact(rng):
+    """The in-kernel Q8_0 dequant (``repeat(s, 32, in-axis) * q`` — exactly
+    frame_step's ``stream_w``) materializes weight tiles BIT-IDENTICAL to the
+    load-time dequant path: an f16-valued f32 scale times an int8 value is
+    exact in f32. This is the part of the Q8-native numerics contract
+    (docs/PARITY.md "Q8_0-native serving") that holds on every backend; the
+    dot CONSUMING the tile may be compiled with a different reduction order
+    (see test_frame_step_q8_native_matches_dequant)."""
+    from jax.experimental import pallas as pl
+
+    In, Out = 64, 192
+    q = jnp.asarray(rng.integers(-127, 128, size=(In, Out)).astype(np.int8))
+    s = jnp.asarray(rng.normal(0, 0.01, size=(In // 32, Out))
+                    .astype(np.float16).astype(np.float32))
+
+    def kernel(q_ref, s_ref, o_ref):
+        o_ref[...] = (jnp.repeat(s_ref[...].astype(jnp.float32), 32, axis=0)
+                      * q_ref[...].astype(jnp.float32))
+
+    tile = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((In, Out), jnp.float32),
+        interpret=True)(q, s)
+    want = np.repeat(np.asarray(s), 32, axis=0) * np.asarray(q, np.float32)
+    np.testing.assert_array_equal(np.asarray(tile), want)
+
+
+def test_frame_step_q8_native_matches_dequant(rng):
+    """Q8_0-NATIVE streaming vs the dense kernel on dequantize-at-load weights
+    (the Q8-native numerics contract, docs/PARITY.md):
+
+    - sampled AND argmax codes are exactly equal (greedy and temp>0 — the
+      product-level guarantee),
+    - cache rows other than the newly written frame are untouched bit-for-bit,
+    - hidden state / written K/V rows agree to float32 ulp-level (atol 4e-6).
+
+    The two paths feed bit-identical weight tiles to the same matmuls (pinned
+    by test_q8_in_kernel_dequant_tile_bitexact), but the compiler may fuse the
+    in-kernel dequant multiply into the dot and pick a different reduction
+    order for the fused dot (observed: XLA CPU's loop-fusion emitter under
+    interpret mode; ~1 ulp on ~80% of elements). Codes, not floats, are the
+    serving contract — exactly the reference's own cached-vs-uncached parity
+    posture (reference docs/STATUS.md:260-263)."""
     from magpie_tts_tpu.io.magpie_weights import (q8_dequantized_decoder,
                                                   q8_stream_from_arrays)
     from magpie_tts_tpu.models import magpie as magpie_mod
@@ -375,6 +413,7 @@ def test_frame_step_q8_native_matches_dequant_bitexact(rng):
                          jnp.int32)
     xa_k, xa_v, state = magpie_mod.prepare(tokens, enc_len, jnp.int32(0),
                                            w_deq, c)
+    pos = int(state.pos)
     for temp in (0.0, 0.8):
         got = frame_step_pallas(
             state.hidden, state.pos, xa_k, xa_v, state.k_cache, state.v_cache,
@@ -384,8 +423,120 @@ def test_frame_step_q8_native_matches_dequant_bitexact(rng):
             state.hidden, state.pos, xa_k, xa_v, state.k_cache, state.v_cache,
             w_deq, c, jnp.int32(3), jnp.float32(temp), 8, jnp.bool_(False),
             enc_length=enc_len, interpret=True)
-        for g, r in zip(got, want):
-            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+        s_g, a_g, h_g, kc_g, vc_g = (np.asarray(x) for x in got)
+        s_r, a_r, h_r, kc_r, vc_r = (np.asarray(x) for x in want)
+        np.testing.assert_array_equal(s_g, s_r)
+        np.testing.assert_array_equal(a_g, a_r)
+        np.testing.assert_allclose(h_g, h_r, atol=4e-6, rtol=0)
+        # Rows != pos pass through the kernel untouched — bitwise equal.
+        keep = np.arange(kc_g.shape[1]) != pos
+        np.testing.assert_array_equal(kc_g[:, keep], kc_r[:, keep])
+        np.testing.assert_array_equal(vc_g[:, keep], vc_r[:, keep])
+        np.testing.assert_allclose(kc_g[:, pos], kc_r[:, pos], atol=4e-6,
+                                   rtol=0)
+        np.testing.assert_allclose(vc_g[:, pos], vc_r[:, pos], atol=4e-6,
+                                   rtol=0)
+
+
+def _q8_pair(dec):
+    """(q8 stream, dequantized decoder) for parity tests."""
+    from magpie_tts_tpu.io.magpie_weights import (q8_dequantized_decoder,
+                                                  q8_stream_from_arrays)
+
+    q8 = q8_stream_from_arrays(dec)
+    return q8, q8_dequantized_decoder(dec, q8)
+
+
+def test_frame_step_batched_q8_native_matches_dequant(rng):
+    """Batched fused frame kernel, Q8_0-native vs dense-on-dequant weights:
+    exact codes, ulp-level hidden/written rows, untouched rows bitwise (the
+    same contract as the single-stream test above)."""
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels.frame_step_batched import (
+        frame_step_batched_pallas)
+
+    c = CONFIG
+    w = WEIGHTS
+    q8, dec_deq = _q8_pair(w.decoder)
+    w_deq = w.replace(decoder=dec_deq)
+    B = 8
+    enc_len = jnp.int32(6)
+    tokens = jnp.asarray(rng.integers(2, c.text_vocab_size - 2, size=(B, 8)),
+                         jnp.int32)
+    xa_k, xa_v, state = jax.vmap(
+        lambda t: magpie_mod.prepare(t, enc_len, jnp.int32(0), w_deq, c))(tokens)
+    pos = jnp.int32(c.context_frames)
+    valid = (jnp.arange(c.max_seq)[None, :] < pos) & jnp.ones((B, 1), bool)
+    hidden = jnp.asarray(
+        rng.normal(0, 0.5, size=(B, c.d_model)).astype(np.float32))
+    posemb = jnp.broadcast_to(w.decoder.pos_emb[pos][None, :], (B, c.d_model))
+    args = (hidden, pos, valid, jnp.ones((B,), bool), posemb, xa_k, xa_v,
+            state.k_cache, state.v_cache)
+    tail = (jnp.full((B,), 6, jnp.int32), jnp.arange(B, dtype=jnp.int32))
+    for temp in (0.0, 0.8):
+        got = frame_step_batched_pallas(
+            *args, w_deq, c, *tail, jnp.float32(temp), 8,
+            jnp.zeros((B,), bool), int8_stream=q8, interpret=True)
+        want = frame_step_batched_pallas(
+            *args, w_deq, c, *tail, jnp.float32(temp), 8,
+            jnp.zeros((B,), bool), interpret=True)
+        s_g, a_g, h_g, kc_g, vc_g = (np.asarray(x) for x in got)
+        s_r, a_r, h_r, kc_r, vc_r = (np.asarray(x) for x in want)
+        np.testing.assert_array_equal(s_g, s_r)
+        np.testing.assert_array_equal(a_g, a_r)
+        np.testing.assert_allclose(h_g, h_r, atol=4e-6, rtol=0)
+        keep = np.arange(kc_g.shape[2]) != int(pos)
+        np.testing.assert_array_equal(kc_g[:, :, keep], kc_r[:, :, keep])
+        np.testing.assert_array_equal(vc_g[:, :, keep], vc_r[:, :, keep])
+        np.testing.assert_allclose(kc_g[:, :, int(pos)], kc_r[:, :, int(pos)],
+                                   atol=4e-6, rtol=0)
+        np.testing.assert_allclose(vc_g[:, :, int(pos)], vc_r[:, :, int(pos)],
+                                   atol=4e-6, rtol=0)
+
+
+def test_decoder_step_batched_q8_native_matches_dequant(rng):
+    """Batched decoder step kernel, Q8_0-native vs dense-on-dequant weights."""
+    from magpie_tts_tpu.ops.pallas_kernels.decoder_step_batched import (
+        decode_step_batched_pallas)
+
+    c = CONFIG
+    w = WEIGHTS
+    q8, dec_deq = _q8_pair(w.decoder)
+    w_deq = w.replace(decoder=dec_deq)
+    B = 8
+    E = 8
+    xa_k = jnp.asarray(rng.normal(0, 0.3, size=(B, c.dec_layers, E, c.d_xa))
+                       .astype(np.float32))
+    xa_v = jnp.asarray(rng.normal(0, 0.3, size=(B, c.dec_layers, E, c.d_xa))
+                       .astype(np.float32))
+    k_cache = jnp.asarray(
+        rng.normal(0, 0.3, size=(B, c.dec_layers, c.max_seq, c.d_model))
+        .astype(np.float32))
+    v_cache = jnp.asarray(
+        rng.normal(0, 0.3, size=(B, c.dec_layers, c.max_seq, c.d_model))
+        .astype(np.float32))
+    pos = jnp.int32(c.context_frames + 3)
+    enc_lens = jnp.full((B,), 6, jnp.int32)
+    valid = (jnp.arange(c.max_seq)[None, :] <= pos) & jnp.ones((B, 1), bool)
+    x = jnp.asarray(rng.normal(0, 0.3, size=(B, c.d_model)).astype(np.float32))
+    x_pe = x + w.decoder.pos_emb[pos][None, :]
+
+    got = decode_step_batched_pallas(
+        x_pe, pos, valid, xa_k, xa_v, k_cache, v_cache, w_deq, c, enc_lens,
+        int8_stream=q8, interpret=True)
+    want = decode_step_batched_pallas(
+        x_pe, pos, valid, xa_k, xa_v, k_cache, v_cache, w_deq, c, enc_lens,
+        interpret=True)
+    h_g, kc_g, vc_g = (np.asarray(x) for x in got)
+    h_r, kc_r, vc_r = (np.asarray(x) for x in want)
+    np.testing.assert_allclose(h_g, h_r, atol=4e-6, rtol=0)
+    keep = np.arange(kc_g.shape[2]) != int(pos)
+    np.testing.assert_array_equal(kc_g[:, :, keep], kc_r[:, :, keep])
+    np.testing.assert_array_equal(vc_g[:, :, keep], vc_r[:, :, keep])
+    np.testing.assert_allclose(kc_g[:, :, int(pos)], kc_r[:, :, int(pos)],
+                               atol=4e-6, rtol=0)
+    np.testing.assert_allclose(vc_g[:, :, int(pos)], vc_r[:, :, int(pos)],
+                               atol=4e-6, rtol=0)
 
 
 def test_q8_stream_from_gguf_matches_dequant_loader(tmp_path):
