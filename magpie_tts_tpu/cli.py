@@ -192,15 +192,32 @@ def warmup(argv) -> int:
         stage("stream", lambda: pipeline.warmup(streaming_path=True,
                                                 token_buckets=buckets))
     if "serve" in surfaces:
-        from .parallel.continuous import ContinuousBatchingEngine
+        from .parallel.continuous import (ContinuousBatchingEngine,
+                                          MultiChipContinuousServer)
 
         def warm_serve():
-            eng = ContinuousBatchingEngine(
-                pipeline.engine.weights, config, n_slots=args.serve_slots,
-                compute_dtype=dtype, segment_frames=args.segment_frames)
-            eng.submit(dummy)
-            while eng.pending:
-                eng.step(temperature=0.0, top_k=args.top_k)
+            # Mirror serve's engine selection so the cache entries match.
+            import jax
+
+            devices = jax.devices()
+            if len(devices) > 1:
+                srv = MultiChipContinuousServer(
+                    pipeline.engine.weights, config, devices=devices,
+                    slots_per_device=args.serve_slots, compute_dtype=dtype,
+                    segment_frames=args.segment_frames)
+                # One request per device: shared admission routes to the
+                # least-loaded engine, so every chip compiles its programs.
+                for _ in devices:
+                    srv.submit(dummy)
+                while srv.pending:
+                    srv.step(temperature=0.0, top_k=args.top_k)
+            else:
+                eng = ContinuousBatchingEngine(
+                    pipeline.engine.weights, config, n_slots=args.serve_slots,
+                    compute_dtype=dtype, segment_frames=args.segment_frames)
+                eng.submit(dummy)
+                while eng.pending:
+                    eng.step(temperature=0.0, top_k=args.top_k)
         stage("serve", warm_serve)
 
     log(f"warmup: total {time.perf_counter() - t0:.1f}s — ship {cache_dir} "

@@ -174,3 +174,20 @@ def test_acceptance_smoke_without_reference_dump(acceptance_setup, capsys):
     assert rc == 0
     assert "ACCEPTANCE: PASS" in out
     assert "skip" in out  # golden compares are reported skipped, not silent
+
+
+def test_acceptance_q8_native_stage(tmp_path, capsys):
+    """On a Q8_0 checkpoint, stage 3b serves the file's own blocks and
+    requires exact greedy-code equality with dequant-at-load (and an f32
+    file reports the stage as skipped — see the smoke test above)."""
+    from tests import fixtures
+    from tools.acceptance import main
+
+    model = str(tmp_path / "m_q8.gguf")
+    fixtures.write_tiny_magpie_gguf(model, quant="q8_0")
+    rc = main(["-m", model, "-t", "hello world", "--max-frames", "6"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "q8_native_codes" in out
+    line = [ln for ln in out.splitlines() if "q8_native_codes" in ln][0]
+    assert "ok" in line and "exactly equal" in line

@@ -12,6 +12,8 @@ the whole checklist against real GGUF files the day they exist:
   2. tokens     tokenizer output (exact vs reference tokens.bin if dumped)
   3. greedy     temp=0 e2e codes: first-frame equality vs --first-frame and
                 full-sequence equality vs reference greedy_codes.bin
+  3b. q8        (Q8_0 checkpoints) q8-native serving reproduces the
+                dequantize-at-load greedy codes exactly (docs/PARITY.md)
   4. goldens    per-layer golden diffs vs the reference dump tree at the
                 BASELINE.md tolerances (encoder 8e-3, decoder 3e-3, LT exact,
                 FSQ 0.0, codec_audio 4.5e-3) — teacher-forced on the
@@ -207,6 +209,44 @@ def main(argv=None):
     elif ref_codes is None:
         report.skip("first_frame_codes",
                     "no --first-frame and no reference greedy_codes.bin")
+
+    # -- 3b. Q8-native serving (only when the checkpoint is Q8_0) ------------
+    # The docs/PARITY.md "Q8_0-native serving" contract on real weights:
+    # serving the file's own blocks (--serve-q8) must reproduce the
+    # dequantize-at-load greedy codes exactly.
+    try:
+        from magpie_tts_tpu.io.gguf import GGML_Q8_0
+
+        probe_name = "decoder.layers.0.self_attention.qkv_net.weight"
+        is_q8_file = reader.tensors[probe_name].ggml_type == GGML_Q8_0
+    except Exception:  # noqa: BLE001
+        is_q8_file = False
+    if is_q8_file and len(cand_codes):
+        try:
+            from magpie_tts_tpu.io.magpie_weights import q8_stream_from_gguf
+
+            _, weights_q8 = load_magpie_weights(
+                args.model, reader=reader, dtype=dtype, q8_native=True)
+            q8s = q8_stream_from_gguf(reader, config)
+            engine_q8 = MagpieEngine(weights_q8, config,
+                                     token_buckets=(len(tokens),),
+                                     q8_stream=q8s)
+            s_q8 = engine_q8.begin_stream(tokens, speaker_id=args.speaker)
+            codes_q8, _ = engine_q8.decode_chunk(
+                s_q8, n_frames=args.max_frames or config.max_dec_steps,
+                temperature=0.0)
+            codes_q8 = np.asarray(codes_q8, np.int64)
+            same = np.array_equal(codes_q8, cand_codes)
+            report.add("q8_native_codes", same,
+                       f"{len(codes_q8)} frames exactly equal" if same else
+                       f"q8-native diverged ({codes_q8.shape} vs "
+                       f"{cand_codes.shape})")
+        except Exception as e:  # noqa: BLE001
+            report.add("q8_native_codes", False, f"{type(e).__name__}: {e}")
+    elif is_q8_file:
+        report.add("q8_native_codes", False, "no greedy frames to compare")
+    else:
+        report.skip("q8_native_codes", "model is not a Q8_0 checkpoint")
 
     # -- 4. per-layer goldens (teacher-forced on the reference's frames) -----
     if ref_dir is not None:
