@@ -124,7 +124,7 @@ def half_snake(x: jnp.ndarray, alpha: jnp.ndarray,
 
 
 def _snake_conv(x, w, b, alpha, dilation, leaky_slope, use_pallas,
-                residual=None):
+                residual=None, max_dilation=None):
     """(optional HalfSnake) -> causal conv (-> + residual), via the fused
     Pallas kernel on TPU or XLA conv elsewhere. x: [N, T, C].
 
@@ -151,16 +151,21 @@ def _snake_conv(x, w, b, alpha, dilation, leaky_slope, use_pallas,
                 xx, w, b, alpha, dilation=dilation, leaky_slope=leaky_slope,
                 residual=rr))(x, residual)
         return jax.vmap(lambda xx: cc.snake_causal_conv(
-            xx, w, b, alpha, dilation=dilation, leaky_slope=leaky_slope))(x)
+            xx, w, b, alpha, dilation=dilation, leaky_slope=leaky_slope,
+            max_dilation=max_dilation))(x)
     h = x if alpha is None else half_snake(x, alpha, leaky_slope)
     out = causal_conv1d(h, w, b, dilation)
     return out if residual is None else out + residual
 
 
 def residual_block(x: jnp.ndarray, blk: ResBlockWeights, dilation: int,
-                   leaky_slope: float, use_pallas: bool = False) -> jnp.ndarray:
+                   leaky_slope: float, use_pallas: bool = False,
+                   max_dilation: int = None) -> jnp.ndarray:
+    # max_dilation merges the dilated in-convs' d in {1,3,5} into ONE Mosaic
+    # module per (k, C) class — numerically inert; measured negative as a
+    # default, kept for probing (ops/pallas_kernels/codec_conv.py).
     h = _snake_conv(x, blk.in_conv_w, blk.in_conv_b, blk.in_alpha, dilation,
-                    leaky_slope, use_pallas)
+                    leaky_slope, use_pallas, max_dilation=max_dilation)
     return _snake_conv(h, blk.sk_conv_w, blk.sk_conv_b, blk.sk_alpha, 1,
                        leaky_slope, use_pallas, residual=x)
 
@@ -195,11 +200,59 @@ def res_layer(x: jnp.ndarray, branches, dilations,
                 xs, branches, dilations, leaky_slope))(x)
         if p > 1:
             return _res_layer_packed(x, branches, dilations, leaky_slope, p)
+        # Probe knobs, both MEASURED NEGATIVE on v5e (default off; see
+        # docs/KERNELS.md "traced-dilation modules"): merging the d in
+        # {1, 3, 5} in-convs into one Mosaic module (DYNDIL) and lax.scan
+        # over the dilated blocks (SCAN, requires DYNDIL's traced kernel)
+        # were built as cold-start levers, but the traced module needs
+        # dynamic-rotate tap reads + an f32 window (Mosaic alignment/dtype
+        # rules), which cost more steady-state (+23% decode wall) and show
+        # no same-session compile win over the three static modules they
+        # replace.
+        if os.environ.get("MAGPIE_CODEC_SCAN", "0") == "1":
+            return _res_layer_scanned(x, branches, dilations, leaky_slope)
+    import os as _os
+    md = (max(dilations)
+          if use_pallas and _os.environ.get("MAGPIE_CODEC_DYNDIL", "0") == "1"
+          else None)
     acc = None
     for branch in branches:
         h = x
         for blk, dilation in zip(branch, dilations):
-            h = residual_block(h, blk, dilation, leaky_slope, use_pallas)
+            h = residual_block(h, blk, dilation, leaky_slope, use_pallas,
+                               max_dilation=md)
+        acc = h if acc is None else acc + h
+    return acc / len(branches)
+
+
+def _res_layer_scanned(x: jnp.ndarray, branches, dilations,
+                       leaky_slope: float) -> jnp.ndarray:
+    """Unpacked-pallas res_layer with each branch's dilated blocks as ONE
+    ``lax.scan`` over stacked weights (probe knob ``MAGPIE_CODEC_SCAN=1``,
+    default OFF — measured negative, see ``res_layer``).
+
+    Built as a cold-start lever: the traced-dilation conv kernel
+    (ops/pallas_kernels/codec_conv.py ``max_dilation=``) makes the scan body
+    identical across the d in {1, 3, 5} blocks, so XLA traces ONE body per
+    branch instead of three unrolled blocks. Numerically inert (pinned
+    bitwise in tests, interpret + compiled TPU), but the traced kernel's
+    rotate-based tap reads cost more than the dedup saves on v5e.
+    """
+    md = max(dilations)
+    dil = jnp.asarray(dilations, jnp.int32)
+    acc = None
+    for branch in branches:
+        blocks = list(branch)
+        stacked = jax.tree_util.tree_map(
+            lambda *ts: jnp.stack(ts), blocks[0], *blocks[1:])
+
+        def body(h, wd):
+            blk, d = wd
+            h = residual_block(h, blk, d, leaky_slope, use_pallas=True,
+                               max_dilation=md)
+            return h, None
+
+        h, _ = jax.lax.scan(body, x, (stacked, dil))
         acc = h if acc is None else acc + h
     return acc / len(branches)
 

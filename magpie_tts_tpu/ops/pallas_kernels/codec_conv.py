@@ -64,11 +64,39 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(cur_ref, res_ref, w_ref, b_ref, alpha_ref, mask_ref, o_ref,
-            win_ref, cat_ref, halo_sc, *, k: int, dilation: int, tile: int,
-            halo: int, apply_snake: bool, leaky_slope: float,
-            use_im2col: bool, fuse_residual: bool):
+def _kernel(cur_ref, res_ref, w_ref, b_ref, alpha_ref, mask_ref, dil_ref,
+            o_ref, win_ref, cat_ref, halo_sc, *, k: int,
+            dilation: int, tile: int, halo: int, apply_snake: bool,
+            leaky_slope: float, use_im2col: bool, fuse_residual: bool,
+            traced_dil: bool):
     i = pl.program_id(0)
+    # traced_dil: the dilation arrives as a runtime scalar and ``halo`` is the
+    # static worst case ((k-1) * max_dilation) — one Mosaic module serves the
+    # whole {1, 3, 5} dilation family of a (k, C) class (cold-start leverage).
+    # Dynamic tap offsets cannot be vector loads (Mosaic requires sublane
+    # starts provably 8-aligned) nor DMA slices (tiled-VMEM slices have the
+    # same divisibility rule); the supported primitive is
+    # ``tpu.dynamic_rotate`` — 32-bit lanes only, hence the window scratch is
+    # f32 in traced mode. ``roll(win, W-off)[:tile]`` reads the identical
+    # rows (out[j] = win[j+off]; j+off < tile+halo <= W, so no wraparound
+    # contamination). The window stores the x.dtype-ROUNDED activation
+    # upcast to f32 (exact round-trip), so tap tiles are bitwise equal to
+    # the static path's (pinned by tests + the on-TPU A/B).
+    if traced_dil:
+        dil = dil_ref[0]
+        tap0 = halo - (k - 1) * dil      # window row of out-row 0's first tap
+    else:
+        dil = dilation
+        tap0 = 0
+
+    def tap_rows(off):
+        """[tile, cp] window rows starting at ``off`` (static or traced)."""
+        if not traced_dil:
+            return win_ref[off: off + tile, :]
+        w_rows = win_ref.shape[0]
+        shift = jnp.where(off == 0, 0, jnp.int32(w_rows) - off)
+        return pltpu.roll(win_ref[...], shift, 0)[:tile, :].astype(
+            cur_ref.dtype)
 
     def activate(x):
         if not apply_snake:
@@ -94,7 +122,8 @@ def _kernel(cur_ref, res_ref, w_ref, b_ref, alpha_ref, mask_ref, o_ref,
         def _copy_halo():
             win_ref[0:halo, :] = halo_sc[...]
 
-    win_ref[halo:, :] = activate(cur_ref[:, :])
+    win_ref[halo: halo + tile, :] = activate(cur_ref[:, :]).astype(
+        win_ref.dtype)
     if halo > 0:
         halo_sc[...] = win_ref[tile: tile + halo, :]
 
@@ -103,18 +132,19 @@ def _kernel(cur_ref, res_ref, w_ref, b_ref, alpha_ref, mask_ref, o_ref,
         # Wide channels: im2col along lanes — one deep [tile, k*C] @ [k*C, C_out]
         # matmul pipelines the MXU better than k accumulated small dots.
         for tap in range(k):
-            off = tap * dilation
-            cat_ref[:, tap * cp_in:(tap + 1) * cp_in] = win_ref[off: off + tile, :]
+            cat_ref[:, tap * cp_in:(tap + 1) * cp_in] = \
+                tap_rows(tap0 + tap * dil)
         acc = jnp.dot(cat_ref[...], w_ref[...].reshape(k * cp_in, -1),
                       preferred_element_type=jnp.float32)
     else:
         # Narrow (128-lane) channels: accumulated per-tap dots measure equal
-        # or better, without the im2col scratch traffic.
-        acc = jnp.dot(win_ref[0:tile, :], w_ref[0, :, :],
+        # or better, without the im2col scratch traffic. (The traced path
+        # keeps the same per-tap accumulation order, so static and traced
+        # modules stay bitwise equal.)
+        acc = jnp.dot(tap_rows(tap0), w_ref[0, :, :],
                       preferred_element_type=jnp.float32)
         for tap in range(1, k):
-            off = tap * dilation
-            acc = acc + jnp.dot(win_ref[off: off + tile, :], w_ref[tap, :, :],
+            acc = acc + jnp.dot(tap_rows(tap0 + tap * dil), w_ref[tap, :, :],
                                 preferred_element_type=jnp.float32)
     acc = acc + b_ref[0, :].astype(jnp.float32)
     if fuse_residual:
@@ -130,7 +160,8 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                       interpret: bool = False,
                       alpha_lanes: Optional[jnp.ndarray] = None,
                       mask_lanes: Optional[jnp.ndarray] = None,
-                      residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      residual: Optional[jnp.ndarray] = None,
+                      max_dilation: Optional[int] = None) -> jnp.ndarray:
     """Fused (optional HalfSnake) -> causal dilated conv (-> + residual).
 
     x: [T, C_in]; w: [k, C_in, C_out] (WIO); b: [C_out];
@@ -142,10 +173,26 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     time-packed path where channels repeat across lane groups.
 
     ``residual`` ([T, C_out]) is added to the conv output inside the kernel.
+
+    ``max_dilation`` (>= dilation) makes the dilation a RUNTIME scalar with a
+    static worst-case halo, so every dilation of a (k, C) family compiles to
+    the SAME Mosaic module — the HiFiGAN resblocks' d in {1, 3, 5} share one
+    kernel compile per (k, C) instead of three. Numerics are unchanged
+    (bitwise, pinned in interpret + on compiled TPU), but the mode is a
+    measured NEGATIVE as a default on v5e — the rotate-based tap reads and
+    f32 window cost more steady-state and compile time than the module
+    dedup saves (docs/KERNELS.md "traced-dilation modules") — so only the
+    probe knobs route here.
     """
     T, c_in = x.shape
     k, _, c_out = w.shape
-    halo = (k - 1) * dilation
+    traced_dil = max_dilation is not None and k > 1
+    if traced_dil:
+        if isinstance(dilation, int):  # may be a traced scalar (lax.scan)
+            assert dilation <= max_dilation, (dilation, max_dilation)
+        halo = (k - 1) * max_dilation
+    else:
+        halo = (k - 1) * dilation
 
     cp_in = _round_up(c_in, LANE)
     cp_out = _round_up(c_out, LANE)
@@ -203,9 +250,10 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     else:
         grid = (tp // tile,)
     kernel = functools.partial(
-        _kernel, k=k, dilation=dilation, tile=tile, halo=halo,
-        apply_snake=apply_snake, leaky_slope=leaky_slope,
-        use_im2col=use_im2col, fuse_residual=fuse_residual)
+        _kernel, k=k, dilation=0 if traced_dil else dilation, tile=tile,
+        halo=halo, apply_snake=apply_snake, leaky_slope=leaky_slope,
+        use_im2col=use_im2col, fuse_residual=fuse_residual,
+        traced_dil=traced_dil)
 
     out = pl.pallas_call(
         kernel,
@@ -219,20 +267,28 @@ def snake_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pl.BlockSpec((1, cp_out), lambda i: (0, 0)),
             pl.BlockSpec((1, cp_in), lambda i: (0, 0)),
             pl.BlockSpec((1, cp_in), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dilation (runtime scalar)
         ],
         out_specs=pl.BlockSpec((tile, cp_out), lambda i: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((halo + tile, cp_in), x.dtype),
+            # Window rows padded to a sublane multiple (pad rows are never
+            # written; the traced-dil rotate requires an 8-aligned shape and
+            # 32-bit lanes, hence f32 in traced mode — stored values are the
+            # x.dtype-rounded activations upcast, an exact round-trip).
+            pltpu.VMEM((_round_up(halo + tile, 8), cp_in),
+                       jnp.float32 if traced_dil else x.dtype),
             pltpu.VMEM((tile, k * cp_in) if use_im2col else (8, 128),
                        x.dtype),                      # im2col window (or dummy)
-            pltpu.VMEM((max(halo, 1), cp_in), x.dtype),  # activated halo carry
+            pltpu.VMEM((max(halo, 1), cp_in),
+                       jnp.float32 if traced_dil else x.dtype),  # halo carry
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # window scratch + double-buffered in/out streams overshoot the
             # default 16MB scoped-vmem limit at large tiles
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(xp, rp, wp, bp, alpha_full, mask)
+    )(xp, rp, wp, bp, alpha_full, mask,
+      jnp.full((1,), dilation, jnp.int32))
 
     return out[:T, :c_out]
 

@@ -59,6 +59,21 @@ _NEG = -1e30
 # qkv/sao/ffp/ffo HBM streams + their matmuls), "noxa" (skip cross-attention).
 _ABLATE = ""
 
+# Layer-weight buffer depth: 1 = classic single buffer (default). 2 gives a
+# parity double-buffer that lets layer 1's 14MB (bf16) stream under the LT
+# phases and keeps later layers one full layer ahead — MEASURED NEGATIVE on
+# v5e (slope A/B, B=32 bf16 temp 0.7: 708.2/1208.7 vs 705.5/1192.6 us/step
+# at pos 150/450): per-layer weight DMA (~17 us at 819GB/s) is already fully
+# hidden under per-layer compute (~50 us), so the extra buffer only adds VMEM
+# pressure and semaphore bookkeeping. Kept as a probe knob; outputs are
+# bit-identical either way (pure DMA scheduling, pinned by interpret tests).
+# The host clamps back to 1 when the doubled scratch would overflow VMEM
+# next to the cache buffers (f32 streams).
+_NWBUF = int(os.environ.get("MAGPIE_WEIGHT_BUFS", "1"))
+# cache-group buffers + doubled weight scratch VMEM budget (the rest of the
+# kernel needs ~20MB of the 126MB Mosaic limit).
+_W2_BYTES_MAX = 100 * 1024 * 1024
+
 # Cache-buffer depth: 2 = classic double-buffer (group g+1 streams while
 # group g attends; layer l+1 group 0 starts after layer l's sa_out).
 # n_groups (= "deep" mode) gives every group its own VMEM buffer and a full
@@ -106,7 +121,7 @@ def _kernel(hidden_ref, posemb_ref,
             n_layers: int, n_batch: int, gb: int, d_model: int, n_heads: int,
             d_xa: int, max_seq: int, enc_pad: int, eps: float, s_half: int,
             cache_chunk: int, gelu_tanh: bool = False, n_buf: int = 2,
-            q8_blocks: bool = False):
+            n_wbuf: int = 1, q8_blocks: bool = False):
     i = pl.program_id(0)
     pos = scal_ref[0]
     B = n_batch
@@ -116,14 +131,23 @@ def _kernel(hidden_ref, posemb_ref,
     deep = n_buf >= n_groups      # one buffer per group: full-layer lookahead
     wb0 = 8 + 2 * n_buf           # writeback semaphores sit past the cache ones
 
-    def stream_dec_w(buf_ref, s_ref):
+    def wsem(widx, p):
+        """Semaphore for weight stream ``widx`` (0..3 = qkv/sao/ffp/ffo),
+        buffer parity ``p``. Single-buffer mode keeps the classic static
+        indices; parity mode uses a contiguous pair per stream past the
+        writeback sems (``p`` may be traced)."""
+        if n_wbuf == 1:
+            return (0, 3, 6, 7)[widx]
+        return wb0 + 2 + 2 * widx + p
+
+    def stream_dec_w(wv, s_ref):
         # Q8_0-native: s (f16-valued f32, one per 32 input rows) x int8 q is
         # EXACT in f32 -> tile bit-identical to load-time dequant (see
         # frame_step.py / io.magpie_weights.Q8DecoderStream).
         if not q8_blocks:
-            return buf_ref[...].astype(wdt)
+            return wv.astype(wdt)
         s = jnp.repeat(s_ref[0].astype(jnp.float32), 32, axis=0)
-        return (s * buf_ref[...].astype(jnp.float32)).astype(wdt)
+        return (s * wv.astype(jnp.float32)).astype(wdt)
 
     def out_scale(v, s_ref):
         if q8_blocks:  # scales already consumed by stream_dec_w
@@ -212,10 +236,13 @@ def _kernel(hidden_ref, posemb_ref,
             kbufs[...] = jnp.zeros_like(kbufs)
             vbufs[...] = jnp.zeros_like(vbufs)
         if "noweights" not in _ABLATE:                              # probe-only
-            dma(qkv_hbm.at[0], qkv_sc, 0).start()
-            dma(sao_hbm.at[0], sao_buf, 3).start()
-            dma(ffp_hbm.at[0], ffp_buf, 6).start()
-            dma(ffo_hbm.at[0], ffo_buf, 7).start()
+            # n_wbuf=2: layer 1's weights stream under the LT phases too
+            # (static j, so these DMAs carry static buffer/sem indices).
+            for j in range(min(n_wbuf, n_layers)):
+                dma(qkv_hbm.at[j], qkv_sc.at[j], wsem(0, j)).start()
+                dma(sao_hbm.at[j], sao_buf.at[j], wsem(1, j)).start()
+                dma(ffp_hbm.at[j], ffp_buf.at[j], wsem(2, j)).start()
+                dma(ffo_hbm.at[j], ffo_buf.at[j], wsem(3, j)).start()
         if "nocache" not in _ABLATE:                                # probe-only
             if deep:
                 # Deep mode: ALL of layer 0's cache streams under the LT
@@ -382,17 +409,23 @@ def _kernel(hidden_ref, posemb_ref,
 
         x = x_ref[...]  # [B, D] f32
 
+        # Weight-buffer parity: layer l lives in buffer l % n_wbuf, and the
+        # prefetch target is layer l + n_wbuf into the SAME buffer (classic
+        # single-buffer behavior when n_wbuf == 1).
+        wp = 0 if n_wbuf == 1 else l % n_wbuf
+
         h = _ln(x, norms_ref[0, 0], eps).astype(wdt)
         if "noweights" in _ABLATE:                                  # probe-only
             qkv = jnp.zeros((n_batch, 3 * d_model), wdt) + h[:, :1]
         else:
-            dma(qkv_hbm.at[l], qkv_sc, 0).wait()
-            qkv = dot_hi(h, stream_dec_w(qkv_sc, qkv_s_ref))        # [B, 3D]
+            dma(qkv_hbm.at[l], qkv_sc.at[wp], wsem(0, wp)).wait()
+            qkv = dot_hi(h, stream_dec_w(qkv_sc[wp], qkv_s_ref))    # [B, 3D]
             qkv = out_scale(qkv, qkv_s_ref).astype(wdt)
 
-            @pl.when(l < n_layers - 1)
+            @pl.when(l + n_wbuf < n_layers)
             def _prefetch_qkv():
-                dma(qkv_hbm.at[l + 1], qkv_sc, 0).start()
+                dma(qkv_hbm.at[l + n_wbuf], qkv_sc.at[wp],
+                    wsem(0, wp)).start()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_model), 1)
         head = jax.lax.broadcasted_iota(jnp.int32, (n_heads, d_model), 0)
@@ -490,14 +523,15 @@ def _kernel(hidden_ref, posemb_ref,
                         cache_start(g, buf, sem_base, l + 1)
 
         if "noweights" not in _ABLATE:                              # probe-only
-            dma(sao_hbm.at[l], sao_buf, 3).wait()
+            dma(sao_hbm.at[l], sao_buf.at[wp], wsem(1, wp)).wait()
             x = x + out_scale(dot_hi(attn_ref[...].astype(wdt),
-                                     stream_dec_w(sao_buf, sao_s_ref)),
+                                     stream_dec_w(sao_buf[wp], sao_s_ref)),
                               sao_s_ref)
 
-            @pl.when(l < n_layers - 1)
+            @pl.when(l + n_wbuf < n_layers)
             def _prefetch_sao():
-                dma(sao_hbm.at[l + 1], sao_buf, 3).start()
+                dma(sao_hbm.at[l + n_wbuf], sao_buf.at[wp],
+                    wsem(1, wp)).start()
         else:
             x = x + attn_ref[...] * 1e-9
 
@@ -525,22 +559,24 @@ def _kernel(hidden_ref, posemb_ref,
         # ---- FFN ----
         hf = _ln(x, norms_ref[0, 2], eps).astype(wdt)
         if "noweights" not in _ABLATE:                              # probe-only
-            dma(ffp_hbm.at[l], ffp_buf, 6).wait()
-            f = out_scale(dot_hi(hf, stream_dec_w(ffp_buf, ffp_s_ref)),
+            dma(ffp_hbm.at[l], ffp_buf.at[wp], wsem(2, wp)).wait()
+            f = out_scale(dot_hi(hf, stream_dec_w(ffp_buf[wp], ffp_s_ref)),
                           ffp_s_ref)
 
-            @pl.when(l < n_layers - 1)
+            @pl.when(l + n_wbuf < n_layers)
             def _prefetch_ffp():
-                dma(ffp_hbm.at[l + 1], ffp_buf, 6).start()
+                dma(ffp_hbm.at[l + n_wbuf], ffp_buf.at[wp],
+                    wsem(2, wp)).start()
 
             f = gelu_kernel(f, approximate=gelu_tanh).astype(wdt)
-            dma(ffo_hbm.at[l], ffo_buf, 7).wait()
-            x = x + out_scale(dot_hi(f, stream_dec_w(ffo_buf, ffo_s_ref)),
+            dma(ffo_hbm.at[l], ffo_buf.at[wp], wsem(3, wp)).wait()
+            x = x + out_scale(dot_hi(f, stream_dec_w(ffo_buf[wp], ffo_s_ref)),
                               ffo_s_ref)
 
-            @pl.when(l < n_layers - 1)
+            @pl.when(l + n_wbuf < n_layers)
             def _prefetch_ffo():
-                dma(ffo_hbm.at[l + 1], ffo_buf, 7).start()
+                dma(ffo_hbm.at[l + n_wbuf], ffo_buf.at[wp],
+                    wsem(3, wp)).start()
         else:
             x = x + hf.astype(jnp.float32) * 1e-9
 
@@ -599,6 +635,7 @@ def frame_step_batched_pallas(
             n_buf = min(2, n_groups)
     top_k = min(top_k, c.vocab_per_cb)
     n_cb = c.num_codebooks
+    cache_buf_bytes = 2 * n_buf * gb * S * D * k_cache.dtype.itemsize
 
     from ...io.magpie_weights import Q8DecoderStream
 
@@ -624,6 +661,14 @@ def frame_step_batched_pallas(
         ffp_s = s.ff_proj_s[:, None, :]
         ffo_s = s.ff_out_s[:, None, :]
         stream_dtype = jnp.int8
+
+    # Weight-buffer depth: 2 when the doubled scratch fits next to the cache
+    # buffers (bf16/int8/q8 streams; f32 keeps the single buffer).
+    w_bytes = (D * 3 * D + D * D + 2 * D * c.d_ffn) * \
+        jnp.dtype(stream_dtype).itemsize
+    n_wbuf = min(max(_NWBUF, 1), 2, c.dec_layers)
+    if n_wbuf == 2 and cache_buf_bytes + 2 * w_bytes > _W2_BYTES_MAX:
+        n_wbuf = 1
 
     emb_tbl = _pad_rows_to_16(weights.audio_emb.astype(dtype))
     vocab_pad = emb_tbl.shape[1]
@@ -664,7 +709,8 @@ def frame_step_batched_pallas(
         audio_eos_id=c.audio_eos_id, n_layers=c.dec_layers, n_batch=B, gb=gb,
         d_model=D, n_heads=c.dec_sa_heads, d_xa=c.d_xa, max_seq=S, enc_pad=E,
         eps=c.eps, s_half=s_half, cache_chunk=cache_chunk,
-        gelu_tanh=c.gelu_tanh, n_buf=n_buf, q8_blocks=q8_blocks)
+        gelu_tanh=c.gelu_tanh, n_buf=n_buf, n_wbuf=n_wbuf,
+        q8_blocks=q8_blocks)
 
     const = lambda *blk: pl.BlockSpec(blk, lambda i: tuple(0 for _ in blk))
     lt_blk = lambda *blk: pl.BlockSpec(
@@ -737,13 +783,14 @@ def frame_step_batched_pallas(
             pltpu.VMEM((B, S), jnp.int32),             # valid incl. new row
             pltpu.VMEM((B, D), jnp.float32),           # x carry
             pltpu.VMEM((B, D), jnp.float32),           # attention out
-            pltpu.VMEM((D, 3 * D), stream_dtype),      # qkv weights
-            pltpu.VMEM((D, D), stream_dtype),          # sa_out
-            pltpu.VMEM((D, c.d_ffn), stream_dtype),    # ff_proj
-            pltpu.VMEM((c.d_ffn, D), stream_dtype),    # ff_out
+            pltpu.VMEM((n_wbuf, D, 3 * D), stream_dtype),   # qkv weights
+            pltpu.VMEM((n_wbuf, D, D), stream_dtype),       # sa_out
+            pltpu.VMEM((n_wbuf, D, c.d_ffn), stream_dtype),  # ff_proj
+            pltpu.VMEM((n_wbuf, c.d_ffn, D), stream_dtype),  # ff_out
             pltpu.VMEM((n_buf, gb, S, D), k_cache.dtype),  # k group bufs
             pltpu.VMEM((n_buf, gb, S, D), v_cache.dtype),  # v group bufs
-            pltpu.SemaphoreType.DMA((8 + 2 * n_buf + 2,)),
+            pltpu.SemaphoreType.DMA(
+                (8 + 2 * n_buf + 2 + (8 if n_wbuf == 2 else 0),)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

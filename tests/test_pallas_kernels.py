@@ -39,6 +39,29 @@ def test_snake_causal_conv_matches_xla(rng, T, cin, cout, k, d, alpha_n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.parametrize("T,cin,cout,k,d,alpha_n", [
+    (100, 27, 27, 11, 5, 13),      # d == max_dilation
+    (300, 128, 128, 7, 3, 64),     # d < max_dilation, multi-tile
+    (130, 432, 432, 3, 1, 216),    # undilated conv through the traced module
+])
+def test_snake_causal_conv_traced_dilation_inert(rng, T, cin, cout, k, d,
+                                                 alpha_n):
+    """max_dilation= (the shared-Mosaic-module cold-start lever) is
+    numerically inert: the traced-dilation kernel's output is BITWISE equal
+    to the static-dilation kernel's, because the tap reads hit the identical
+    window rows — only their offsets become dynamic."""
+    x = jnp.asarray(rng.normal(0, 0.5, size=(T, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, size=(k, cin, cout)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    alpha = jnp.asarray(
+        rng.uniform(0.4, 1.4, size=(alpha_n,)).astype(np.float32))
+    static = snake_causal_conv(x, w, b, alpha, dilation=d, tile=128,
+                               interpret=True)
+    traced = snake_causal_conv(x, w, b, alpha, dilation=d, tile=128,
+                               interpret=True, max_dilation=5)
+    np.testing.assert_array_equal(np.asarray(traced), np.asarray(static))
+
+
 def test_fast_sin_accuracy():
     """In-kernel polynomial sine: abs error vs libm over the ranges Snake
     actually sees (alpha in ~[0.1, 3], activations up to ~1e2 -> args up to
@@ -172,6 +195,34 @@ def test_time_packed_conv_matches_unpacked(rng, C, k, d):
             cc.pack_time(x, p), w, b, a, C, p, dilation=d, interpret=True)
         got = cc.unpack_time(got, p, T, C)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("stage_idx,C", [
+    pytest.param(1, 216, marks=pytest.mark.slow), (2, 108)])
+def test_scanned_res_layer_matches_unrolled_bitwise(rng, monkeypatch,
+                                                    stage_idx, C):
+    """The lax.scan res_layer (cold-start lever) is BITWISE equal to the
+    python-unrolled pallas path: the scan body is the same residual_block the
+    unrolled path runs, and nothing outside the kernels reassociates."""
+    from magpie_tts_tpu.config import CodecConfig
+    from magpie_tts_tpu.io.codec_weights import random_codec_weights
+    from magpie_tts_tpu.ops.pallas_kernels import codec_conv as cc
+
+    cfg = CodecConfig()
+    cw = random_codec_weights(cfg, seed=3)
+    stage = cw.stages[stage_idx]
+    T = 70
+    x = jnp.asarray(rng.normal(0, 0.5, size=(1, T, C)).astype(np.float32))
+    orig = cc.snake_causal_conv
+    monkeypatch.setattr(cc, "snake_causal_conv",
+                        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    monkeypatch.setenv("MAGPIE_CODEC_SCAN", "1")
+    got = cm.res_layer(x, stage.resblocks, cfg.resblock_dilations, 0.01,
+                       use_pallas=True)
+    monkeypatch.setenv("MAGPIE_CODEC_SCAN", "0")
+    want = cm.res_layer(x, stage.resblocks, cfg.resblock_dilations, 0.01,
+                        use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 @pytest.mark.slow
@@ -354,6 +405,39 @@ def test_frame_step_batched_deep_buffers_bitexact(rng, monkeypatch):
                 interpret=True)
         for g, r in zip(outs[2], outs[4]):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_frame_step_batched_weight_double_buffer_bitexact(rng, monkeypatch):
+    """MAGPIE_WEIGHT_BUFS=2 (layer-weight parity double-buffer; measured
+    perf-neutral on v5e, kept as a probe knob) is a SCHEDULING-only change:
+    outputs must be bit-identical to the single-buffer schedule."""
+    from magpie_tts_tpu.models import magpie as magpie_mod
+    from magpie_tts_tpu.ops.pallas_kernels import frame_step_batched as fsb
+
+    c = CONFIG
+    w = WEIGHTS
+    B = 8
+    enc_len = jnp.int32(6)
+    tokens = jnp.asarray(rng.integers(2, c.text_vocab_size - 2, size=(B, 8)),
+                         jnp.int32)
+    xa_k, xa_v, state = jax.vmap(
+        lambda t: magpie_mod.prepare(t, enc_len, jnp.int32(0), w, c))(tokens)
+    pos = jnp.int32(c.context_frames)
+    valid = (jnp.arange(c.max_seq)[None, :] < pos) & jnp.ones((B, 1), bool)
+    hidden = jnp.asarray(
+        rng.normal(0, 0.5, size=(B, c.d_model)).astype(np.float32))
+    posemb = jnp.broadcast_to(w.decoder.pos_emb[pos][None, :], (B, c.d_model))
+    args = (hidden, pos, valid, jnp.ones((B,), bool), posemb, xa_k, xa_v,
+            state.k_cache, state.v_cache, w, c, jnp.full((B,), 6, jnp.int32),
+            jnp.arange(B, dtype=jnp.int32))
+    outs = {}
+    for nwbuf in (1, 2):
+        monkeypatch.setattr(fsb, "_NWBUF", nwbuf)
+        outs[nwbuf] = fsb.frame_step_batched_pallas(
+            *args, jnp.float32(0.9), 8, jnp.zeros((B,), bool),
+            interpret=True)
+    for g, r in zip(outs[1], outs[2]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
 def test_q8_in_kernel_dequant_tile_bitexact(rng):
